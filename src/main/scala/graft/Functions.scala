@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoders
+
+/** Function-parity layer.
+  *
+  * The reference ships a static scalar-function registry
+  * (reference: opteryx/functions/__init__.py:508-659); almost all of it maps to
+  * `org.apache.spark.sql.functions` built-ins (codegen'd — see SURVEY.md §2.3).
+  * This object supplies only the genuinely missing pieces, each implemented
+  * over built-in/higher-order expressions where possible so they stay inside
+  * whole-stage codegen, and registered under the reference's SQL spellings.
+  */
+object Functions {
+
+  // ---------------------------------------------------------------- vectors
+
+  /** Dot product of two ARRAY<numeric> columns via higher-order functions —
+    * stays in codegen, no UDF serialization (used by the similarity-search
+    * operators; reference: COSINE_SIMILARITY at opteryx/functions/__init__.py:611). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ------------------------------------------------------------------ text
+
+  /** Whitespace tokenization (the reference's SPLIT default —
+    * opteryx/functions/__init__.py:567). */
+  def tokenize(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Sliding word shingles of width n as space-joined strings (building block
+    * for MinHash / n-gram Jaccard dedup). */
+  def wordShingles(tokens: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => array_join(slice(tokens, i + 1, lit(n)), " ")),
+      s => length(s) > 0)
+
+  /** 32-bit SimHash over md5-derived token hashes: majority vote per bit.
+    * Deterministic and expressible in ANSI SQL (the DuckDB oracle mirrors it). */
+  def simhash32(tokens: Column): Column = {
+    val tokenHash = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, bit) => {
+        val vote = aggregate(tokens, lit(0L),
+          (a, t) => a + when(call_function("shiftright", tokenHash(t), bit).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+        acc + when(vote > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)
+      })
+  }
+
+  // ----------------------------------------------------------------- misc
+
+  private val base85Alphabet =
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+
+  /** Z85-style base85 (reference: BASE85_ENCODE at opteryx/functions/__init__.py:584). */
+  def base85Encode(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    val pad = (4 - bytes.length % 4) % 4
+    val padded = bytes ++ Array.fill[Byte](pad)(0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < padded.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (padded(i + j) & 0xffL); j += 1 }
+      val chunk = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chunk(k) = base85Alphabet((v % 85).toInt); v /= 85; k -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.setLength(sb.length - pad)
+    sb.toString
+  }
+
+  def base85Decode(s: String): Array[Byte] = {
+    if (s == null) return null
+    val pad = (5 - s.length % 5) % 5
+    val padded = s + base85Alphabet(84).toString * pad
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < padded.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + base85Alphabet.indexOf(padded(i + j)); j += 1 }
+      var k = 3
+      val chunk = new Array[Byte](4)
+      while (k >= 0) { chunk(k) = (v & 0xff).toByte; v >>= 8; k -= 1 }
+      out.write(chunk, 0, 4)
+      i += 5
+    }
+    val arr = out.toByteArray
+    java.util.Arrays.copyOf(arr, arr.length - pad)
+  }
+
+  /** Human-readable large numbers (reference: HUMANIZE at
+    * opteryx/functions/__init__.py:608). */
+  def humanize(n: Long): String = {
+    val abs = math.abs(n)
+    val (div, suffix) =
+      if (abs >= 1000000000000L) (1000000000000.0, " trillion")
+      else if (abs >= 1000000000L) (1000000000.0, " billion")
+      else if (abs >= 1000000L) (1000000.0, " million")
+      else if (abs >= 1000L) (1000.0, " thousand")
+      else (1.0, "")
+    if (suffix.isEmpty) n.toString
+    else f"${n / div}%.1f$suffix"
+  }
+
+  /** PRODUCT aggregate (reference: opteryx/operators/aggregate_node.py:44).
+    * Sign-correct (no exp/sum/ln trick) typed Aggregator. */
+  val productAgg: Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] =
+    new Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] {
+      def zero = (1.0, false)
+      def reduce(b: (Double, Boolean), a: java.lang.Double) =
+        if (a == null) b else (b._1 * a, true)
+      def merge(x: (Double, Boolean), y: (Double, Boolean)) =
+        (x._1 * y._1, x._2 || y._2)
+      def finish(r: (Double, Boolean)): java.lang.Double = if (r._2) r._1 else null
+      def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaBoolean)
+      def outputEncoder = Encoders.DOUBLE
+    }
+
+  // ------------------------------------------------------------ registration
+
+  /** Register the reference's non-built-in SQL spellings on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("product", udaf(productAgg))
+    spark.udf.register("base85_encode", (b: Array[Byte]) => base85Encode(b))
+    spark.udf.register("base85_decode", (s: String) => base85Decode(s))
+    spark.udf.register("humanize", (n: Long) => humanize(n))
+    spark.udf.register("random_string", (n: Int) => {
+      val r = new scala.util.Random()
+      val chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+      (0 until n).map(_ => chars(r.nextInt(chars.length))).mkString
+    })
+    // Expression-composed registrations stay codegen-friendly:
+    import org.apache.spark.sql.catalyst.expressions.{Expression, InitCap, XxHash64}
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("title",
+      (es: Seq[Expression]) => InitCap(es.head), "internal")
+    reg.createOrReplaceTempFunction("cityhash",
+      (es: Seq[Expression]) => new XxHash64(es), "internal")
+    // SQL UDF (Spark 4): declarative body, inlined + codegen'd at plan time.
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity(
+        a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
+      RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) /
+             (sqrt(aggregate(a, 0d, (acc, v) -> acc + v * v)) *
+              sqrt(aggregate(b, 0d, (acc, v) -> acc + v * v)))""")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the graft engine.
+  *
+  * Mirrors the reference engine's embedded-session ergonomics
+  * (reference: opteryx/__init__.py:118-122 Connection/Cursor surface) but is a
+  * thin layer over SparkSession: Catalyst + Tungsten are the engine, we only
+  * pick scale-appropriate defaults.
+  *
+  * Scale notes (targets a multi-executor cluster even though tests run
+  * local[32]):
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  *    and dynamic join-strategy switching replace the reference's hand-rolled
+  *    adaptive tricks (bloom-disable, partial-agg bail-out —
+  *    reference: opteryx/operators/inner_join_node.py:129-135,
+  *    aggregate_and_group_node.py:249-279).
+  *  - Runtime bloom-filter join pruning on: equivalent of the reference's
+  *    build-side bloom filter (reference: opteryx/operators/inner_join_node.py:84-137).
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+      // rejects; read as long and convert in Tables.df (truncation to µs
+      // matches DuckDB's nanosecond handling).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+
+  def create(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.registerAll(spark)
+    spark
+  }
+
+  /** Ensure graft functions are registered on an externally-created session
+    * (Verify/Bench build their own sessions per the driver contract). */
+  def prepare(spark: SparkSession): SparkSession = {
+    Functions.registerAll(spark)
+    spark
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table resolution for the driver testdata layout (`<dir>/<name>.parquet`).
+  *
+  * The reference resolves zero-config path tables (`FROM 'file.parquet'`) and
+  * prefix-routed connectors (reference: opteryx/connectors/__init__.py:95-103);
+  * on Spark the same surface is `spark.read.<format>` + temp views. Parquet
+  * scans get column pruning + predicate pushdown + row-group pruning from
+  * Catalyst for free (the reference hand-rolls this in
+  * opteryx/utils/file_decoders.py:218-360).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // Normalize nano-precision timestamps (read as long nanos under
+    // spark.sql.legacy.parquet.nanosAsLong) to µs TIMESTAMP_NTZ — same
+    // truncation DuckDB applies, so oracle comparisons line up.
+    raw.schema.fields.collect {
+      case f if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType => f.name
+    }.foldLeft(raw) { (d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.expr(s"cast(timestamp_micros($c div 1000) as timestamp_ntz)"))
+    }
+  }
+
+  /** Register every testdata table as a temp view so `spark.sql` and the
+    * DuckDB oracle address tables by the same names. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface — new capability beyond the reference (which
+  * is batch-only; SURVEY.md §2.6). The transforms here are the streaming
+  * twins of the batch queries p13/p14 in PipelineQueries: identical logical
+  * plans, fed by readStream instead of read.
+  *
+  * Scale notes: the windowed aggregation is partial-aggregated per
+  * micro-batch and state-stored per (window, event_type) key; the watermark
+  * bounds state size, which is what makes this viable on an unbounded
+  * 100-TB/day stream.
+  */
+object EventStreams {
+
+  /** On-disk schema of the events table (FIXTURES.md §1). `ts` is stored as
+    * TIMESTAMP(NANOS) which Spark reads as long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong (see GraftSession). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window counts/sums with late-data handling via watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Sliding windows (1h window, 15m slide). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows with a 30-minute gap — the streaming equivalent of the
+    * batch sessionization in p14_events_sessions. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").getField("start").as("session_start"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Read the events table as a bounded stream (used by tests; in production
+    * the source would be kafka/files arriving continuously). Watermarks
+    * require TIMESTAMP (with local tz), not NTZ — with the session pinned to
+    * UTC the wall-clock values are identical. */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream.schema(rawEventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must run at sf0.001, produce rows, and have unique,
+  * stable column names (the driver's hash-compare sorts columns by name, so
+  * duplicates or mismatches silently break the gate). */
+class QueriesSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  // Pair-emitting dedup queries may legitimately return zero rows on tiny
+  // synthetic data; everything else must return at least one row.
+  private val mayBeEmpty = Set("p02_dedup_minhash", "p04_dedup_jaccard", "p05_dedup_embedding")
+
+  SparkEntry.allDefs.foreach { d =>
+    test(s"${d.name} runs and is well-formed") {
+      val df = d.run(spark, SharedSpark.sf)
+      val cols = df.columns.toSeq
+      assert(cols.distinct.size == cols.size, s"duplicate column names: $cols")
+      val n = df.count()
+      if (!mayBeEmpty(d.name)) assert(n > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs: the streaming pipelines must agree with their
+  * batch twins when fed the same bounded input. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  /** File stream sources read directories; stage the single events.parquet
+    * into one (as a production layout of arriving files would be). */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(SharedSpark.sf, "events.parquet"))
+    d.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("streaming windowed agg matches batch computation") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.windowedAgg(stream), "win_agg")
+    val streamed = spark.table("win_agg")
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+
+    val batch = Tables.df(spark, SharedSpark.sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp")) // match the stream's ltz type
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.get(0) == b.get(0) && s.get(1) == b.get(1) && s.getLong(2) == b.getLong(2))
+    }
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.dedup(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val n = spark.table("dedup_out").count()
+    val distinct = Tables.df(spark, SharedSpark.sf, "events")
+      .select(col("event_id")).distinct().count()
+    assert(n == distinct)
+  }
+
+  test("session windows produce bounded sessions") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    runToMemory(EventStreams.sessionAgg(stream), "sess_agg")
+    val n = spark.table("sess_agg").count()
+    assert(n > 0)
+  }
+}
