@@ -18,9 +18,8 @@ object Functions {
 
   // ---------------------------------------------------------------- vectors
 
-  /** Dot product of two ARRAY<numeric> columns via higher-order functions —
-    * stays in codegen, no UDF serialization (used by the similarity-search
-    * operators; reference: COSINE_SIMILARITY at opteryx/functions/__init__.py:611). */
+  /** Dot product of two ARRAY<numeric> columns via higher-order functions.
+    * (Reference: COSINE_SIMILARITY at opteryx/functions/__init__.py:611.) */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -28,8 +27,11 @@ object Functions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  /** Cosine similarity — native codegen'd expression (one fused loop; the
+    * HOF composition above evaluates its lambdas interpreted, which is 50×
+    * slower inside an all-pairs join). Same accumulation order. */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    graft.functions.NativeExpressions.cosineSimilarity(a, b)
 
   // ------------------------------------------------------------------ text
 
@@ -47,19 +49,10 @@ object Functions {
       s => length(s) > 0)
 
   /** 32-bit SimHash over md5-derived token hashes: majority vote per bit.
-    * Deterministic and expressible in ANSI SQL (the DuckDB oracle mirrors it). */
-  def simhash32(tokens: Column): Column = {
-    val tokenHash = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, bit) => {
-        val vote = aggregate(tokens, lit(0L),
-          (a, t) => a + when(call_function("shiftright", tokenHash(t), bit).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)
-      })
-  }
+    * Native kernel (one md5 per token); deterministic and expressible in
+    * ANSI SQL — the DuckDB oracle mirrors it exactly. */
+  def simhash32(tokens: Column): Column =
+    graft.functions.NativeExpressions.simhash32(tokens)
 
   // ----------------------------------------------------------------- misc
 
@@ -149,17 +142,23 @@ object Functions {
       (0 until n).map(_ => chars(r.nextInt(chars.length))).mkString
     })
     // Expression-composed registrations stay codegen-friendly:
-    import org.apache.spark.sql.catalyst.expressions.{Expression, InitCap, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, InitCap, XxHash64}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("title",
       (es: Seq[Expression]) => InitCap(es.head), "internal")
     reg.createOrReplaceTempFunction("cityhash",
       (es: Seq[Expression]) => new XxHash64(es), "internal")
-    // SQL UDF (Spark 4): declarative body, inlined + codegen'd at plan time.
-    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity(
-        a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE
-      RETURN aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) /
-             (sqrt(aggregate(a, 0d, (acc, v) -> acc + v * v)) *
-              sqrt(aggregate(b, 0d, (acc, v) -> acc + v * v)))""")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      (es: Seq[Expression]) => graft.functions.NativeExpressions.CosineSimilarityExpr(
+        Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType))),
+      "internal")
+    reg.createOrReplaceTempFunction("simhash",
+      (es: Seq[Expression]) => graft.functions.NativeExpressions.SimHash32Expr(es.head),
+      "internal")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      (es: Seq[Expression]) => graft.functions.NativeExpressions.MinHashSignatureExpr(
+        es(0), es(1).eval().asInstanceOf[Int]),
+      "internal")
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+
+/** The user-facing engine facade — the Spark-native equivalent of the
+  * reference's `opteryx.query()` / DB-API surface
+  * (reference: opteryx/__init__.py:151-264, opteryx/cursor.py:39).
+  *
+  * {{{
+  * val g = Graft(spark)                         // or Graft.embedded()
+  * g.registerDir("/data/sf0.01")                // testdata-layout tables
+  * g.query("SELECT event_type, props ->> 'k' FROM events LIMIT 5")
+  * g.query("SELECT * FROM 'path/to/file.parquet'")
+  * g.query("SELECT DISTINCT ON (c_nationkey) c_nationkey, c_name FROM customer ORDER BY c_nationkey, c_acctbal DESC")
+  * g.query("SELECT count(*) FROM events FOR DATES BETWEEN '2024-01-01' AND '2024-02-01'")
+  * }}}
+  */
+class Graft(val spark: SparkSession) {
+
+  GraftSession.prepare(spark)
+
+  /** table → event-time column for temporal `FOR` resolution. Mirrors the
+    * reference's Diachronic connector capability
+    * (reference: opteryx/connectors/capabilities/). */
+  private val temporalColumns =
+    scala.collection.mutable.Map[String, String]("events" -> "ts")
+
+  def registerTemporalColumn(table: String, column: String): Unit =
+    temporalColumns(table.toLowerCase) = column
+
+  /** Register every table of a testdata-layout directory as a temp view. */
+  def registerDir(dir: String): Unit = Tables.registerAll(spark, dir)
+
+  /** Register an arbitrary DataFrame (the reference's `register_df`,
+    * opteryx/__init__.py:95-97). */
+  def registerDf(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Run a statement in the graft dialect (ANSI Spark SQL + the reference's
+    * extensions). Positional `?` parameters are bound injection-safe via
+    * Spark's parameterized-SQL API. */
+  def query(sql: String, args: Any*): DataFrame = {
+    val rw = GraftSql.rewrite(sql)
+    // zero-config path tables → temp views (Catalyst prunes/pushes down into
+    // the scan exactly as for a catalog table)
+    rw.pathTables.foreach { p =>
+      val reader = p.split('.').last.toLowerCase match {
+        case "csv" | "tsv" => spark.read.option("header", "true")
+          .option("inferSchema", "true")
+          .option("sep", if (p.endsWith(".tsv")) "\t" else ",").csv(p)
+        case "json" | "jsonl" => spark.read.json(p)
+        case "orc" => spark.read.orc(p)
+        case "avro" => spark.read.format("avro").load(p)
+        case _ => spark.read.parquet(p)
+      }
+      reader.createOrReplaceTempView(GraftSql.viewNameFor(p))
+    }
+    // temporal FOR ranges → event-time-filtered views over the base
+    // relation, so the predicate sits at the scan (partition/row-group
+    // pruning applies) rather than over the query result
+    rw.temporal.foreach { t =>
+      val base = spark.table(t.relation)
+      val filtered = temporalColumns.get(t.relation.toLowerCase) match {
+        case Some(c) =>
+          base.filter(col(c) >= expr(s"cast(${t.start} as timestamp_ntz)")
+            && col(c) < expr(s"cast(${t.end} as timestamp_ntz) + interval 1 day"))
+        case None => base // non-temporal relation: FOR reads current state
+      }
+      filtered.createOrReplaceTempView(t.viewName)
+    }
+    if (args.nonEmpty) spark.sql(rw.sql, args.toArray)
+    else spark.sql(rw.sql)
+  }
+
+  def explain(sql: String): String = {
+    val rw = GraftSql.rewrite(sql)
+    spark.sql(rw.sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+}
+
+object Graft {
+  def apply(spark: SparkSession): Graft = new Graft(spark)
+
+  /** Zero-config embedded session, like `import opteryx; opteryx.query(...)`. */
+  def embedded(): Graft = new Graft(GraftSession.create())
+}

@@ -75,11 +75,10 @@ object PipelineQueries {
         .withColumn("sh", shingles(toks(col("text")), 3))
       // minhash_h = min over shingles of md5(h || ':' || shingle); the min of
       // a uniform digest is a valid permutation surrogate and is
-      // engine-portable (md5 is md5 everywhere).
+      // engine-portable (md5 is md5 everywhere). Native kernel — one digest
+      // instance, k×|shingles| loop, no interpreted lambdas.
       val withSig = docs.withColumn("sig",
-        transform(sequence(lit(0), lit(7)), h =>
-          array_min(transform(col("sh"), sh =>
-            md5(concat(h.cast("string"), lit(":"), sh))))))
+        graft.functions.NativeExpressions.minhashSignature(col("sh"), 8))
       val bands = withSig.select(
         col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)), b => struct(

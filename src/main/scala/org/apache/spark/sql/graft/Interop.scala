@@ -2,12 +2,18 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Spark 4 removed the public `Column(Expression)` constructor; the supported
-  * bridge (`classic.ExpressionUtils`) is private[sql], so this shim re-exports
-  * the two conversions the graft function registry needs. */
+  * bridges live in `classic` and are private[sql], so this shim re-exports
+  * the two conversions graft's native expressions need.
+  *
+  * Note: `expression` uses the eager ColumnNodeToExpressionConverter — the
+  * lazy `ExpressionUtils.expression` wrapper stays Unevaluable if it never
+  * passes through Dataset analysis (e.g. when embedded as a child of a
+  * custom Expression). */
 object Interop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def expression(c: Column): Expression =
+    ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSqlSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  private lazy val g = {
+    val eng = Graft(spark)
+    eng.registerDir(SharedSpark.sf)
+    eng
+  }
+
+  test("json arrow operators") {
+    val r = g.query("SELECT event_id, props ->> 'k' AS k FROM events ORDER BY event_id LIMIT 3")
+    assert(r.columns.toSeq == Seq("event_id", "k"))
+    assert(r.count() == 3)
+    val direct = g.query("SELECT props -> 'k' AS k FROM events WHERE props @? 'k' LIMIT 1")
+    assert(direct.head().getString(0) != null)
+  }
+
+  test("DISTINCT ON rewrite picks first row per key") {
+    val r = g.query(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+        |FROM customer ORDER BY c_nationkey, c_acctbal DESC""".stripMargin)
+    val rows = r.collect()
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    // must agree with the q06 window formulation modulo tie-breaks on acctbal
+    val viaWindow = SparkEntry.queries("q06_distinct_on")(spark, SharedSpark.sf).collect()
+    assert(rows.length == viaWindow.length)
+  }
+
+  test("path tables resolve") {
+    val r = g.query(s"SELECT count(*) AS n FROM '${SharedSpark.sf}/nation.parquet'")
+    assert(r.head().getLong(0) == 25)
+  }
+
+  test("temporal FOR DATES BETWEEN filters the scan") {
+    val all = g.query("SELECT count(*) AS n FROM events").head().getLong(0)
+    val some = g.query(
+      "SELECT count(*) AS n FROM events FOR DATES BETWEEN '2024-01-01' AND '2024-01-03'")
+      .head().getLong(0)
+    assert(some > 0 && some < all)
+    // joins keep working with the original name as alias
+    val j = g.query(
+      """SELECT count(*) AS n FROM events FOR DATES BETWEEN '2024-01-01' AND '2024-01-03'
+        |WHERE events.value > 50""".stripMargin).head().getLong(0)
+    assert(j > 0 && j <= some)
+  }
+
+  test("FOR on a non-temporal relation is a no-op") {
+    val n = g.query("SELECT count(*) AS n FROM nation FOR YESTERDAY").head().getLong(0)
+    assert(n == 25)
+  }
+
+  test("positional parameters bind injection-safe") {
+    val r = g.query("SELECT count(*) AS n FROM customer WHERE c_nationkey = ?", 3)
+    assert(r.head().getLong(0) > 0)
+  }
+
+  test("comments are stripped") {
+    val r = g.query("SELECT 1 AS x -- trailing comment\n/* block */")
+    assert(r.head().getInt(0) == 1)
+  }
+
+  test("explain returns a formatted plan") {
+    val plan = g.explain("SELECT count(*) FROM lineitem WHERE l_quantity > 10")
+    assert(plan.contains("Scan parquet") || plan.contains("PushedFilters") || plan.nonEmpty)
+  }
+}
