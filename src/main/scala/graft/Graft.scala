@@ -45,16 +45,8 @@ class Graft(val spark: SparkSession) {
     // zero-config path tables → temp views (Catalyst prunes/pushes down into
     // the scan exactly as for a catalog table)
     rw.pathTables.foreach { p =>
-      val reader = p.split('.').last.toLowerCase match {
-        case "csv" | "tsv" => spark.read.option("header", "true")
-          .option("inferSchema", "true")
-          .option("sep", if (p.endsWith(".tsv")) "\t" else ",").csv(p)
-        case "json" | "jsonl" => spark.read.json(p)
-        case "orc" => spark.read.orc(p)
-        case "avro" => spark.read.format("avro").load(p)
-        case _ => spark.read.parquet(p)
-      }
-      reader.createOrReplaceTempView(GraftSql.viewNameFor(p))
+      graft.sources.Formats.read(spark, p)
+        .createOrReplaceTempView(GraftSql.viewNameFor(p))
     }
     // temporal FOR ranges → event-time-filtered views over the base
     // relation, so the predicate sits at the scan (partition/row-group
