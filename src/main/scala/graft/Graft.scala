@@ -41,6 +41,20 @@ class Graft(val spark: SparkSession) {
     * extensions). Positional `?` parameters are bound injection-safe via
     * Spark's parameterized-SQL API. */
   def query(sql: String, args: Any*): DataFrame = {
+    // meta-statement surface (SHOW COLUMNS / SET @var / SHOW var / EXPLAIN)
+    sql match {
+      case Meta.ShowColumnsRe(ext, table) =>
+        return Meta.showColumns(spark, table, ext != null)
+      case Meta.SetVarRe(name, value) =>
+        return Meta.setVariable(spark, name, GraftSql.rewrite(value).sql)
+      case Meta.ExplainRe(analyze, inner) =>
+        return Meta.explain(spark, query(inner, args: _*), analyze != null)
+      case Meta.ShowVarRe(name)
+          if !Set("tables", "databases", "views", "functions", "columns")
+            .contains(name.toLowerCase) =>
+        return Meta.showValue(spark, name)
+      case _ => ()
+    }
     val rw = GraftSql.rewrite(sql)
     // zero-config path tables → temp views (Catalyst prunes/pushes down into
     // the scan exactly as for a catalog table)

@@ -41,6 +41,7 @@ object GraftSql {
     s = afterPaths
     s = rewriteJsonOps(s)
     s = rewriteDistinctOn(s)
+    s = rewriteVariables(s)
     Rewritten(s.trim, ranges, paths)
   }
 
@@ -160,6 +161,16 @@ object GraftSql {
 
   private def jsonPath(key: String): String =
     if (key.startsWith("$")) key else s"$$.$key"
+
+  // -- @variables ------------------------------------------------------------
+
+  /** `@name` references → Spark 4 session variables, qualified as
+    * `system.session.name` so they can't collide with column names
+    * (reference: SET/SHOW variable nodes, opteryx/operators/set_variable_node.py). */
+  private def rewriteVariables(sql: String): String =
+    mapOutsideLiterals(sql) {
+      _.replaceAll("""@(\w+)""", "system.session.$1")
+    }
 
   // -- DISTINCT ON -----------------------------------------------------------
 

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Meta/ops statement surface (SURVEY.md §7 M5): SHOW COLUMNS [EXTENDED],
+  * SET @var / SHOW var, EXPLAIN [ANALYZE]. The reference implements these as
+  * physical operators (opteryx/operators/show_columns_node.py,
+  * set_variable_node.py, show_value_node.py, explain_node.py); here each is a
+  * thin catalog/metrics view over Spark state.
+  */
+object Meta {
+
+  val ShowColumnsRe =
+    """(?is)^\s*SHOW\s+(EXTENDED\s+)?COLUMNS\s+(?:FROM|IN)\s+([\w.$]+)\s*;?\s*$""".r
+  val SetVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.+?)\s*;?\s*$""".r
+  val ShowVarRe = """(?is)^\s*SHOW\s+@?([\w.]+)\s*;?\s*$""".r
+  val ExplainRe = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$""".r
+
+  /** `SHOW COLUMNS FROM t` — name/type/nullable; EXTENDED adds per-column
+    * stats (count, nulls, approx distinct, min, max) computed in ONE
+    * distributed aggregate pass over the relation (not per-column jobs —
+    * reference computes the same profile, show_columns_node.py). */
+  def showColumns(spark: SparkSession, table: String, extended: Boolean): DataFrame = {
+    import spark.implicits._
+    val df = spark.table(table)
+    val base = df.schema.fields.map(f => (f.name, f.dataType.simpleString, f.nullable))
+    if (!extended) base.toSeq.toDF("name", "type", "nullable")
+    else {
+      val aggs = df.schema.fields.flatMap { f =>
+        val c = col(f.name)
+        Seq(
+          count(c).as(s"__cnt_${f.name}"),
+          sum(when(c.isNull, 1).otherwise(0)).as(s"__nulls_${f.name}"),
+          approx_count_distinct(c).as(s"__dist_${f.name}"),
+          min(c).cast("string").as(s"__min_${f.name}"),
+          max(c).cast("string").as(s"__max_${f.name}"))
+      }
+      val r = df.agg(aggs.head, aggs.tail.toSeq: _*).head()
+      base.map { case (n, t, nl) =>
+        (n, t, nl,
+          r.getAs[Long](s"__cnt_$n"),
+          r.getAs[Long](s"__nulls_$n"),
+          r.getAs[Long](s"__dist_$n"),
+          Option(r.getAs[String](s"__min_$n")).orNull,
+          Option(r.getAs[String](s"__max_$n")).orNull)
+      }.toSeq.toDF("name", "type", "nullable", "count", "nulls",
+        "approx_distinct", "min", "max")
+    }
+  }
+
+  /** `SET @var = <expr>` → Spark 4 session variable; references are rewritten
+    * by [[GraftSql]] to `system.session.<var>` (unambiguous vs columns). */
+  def setVariable(spark: SparkSession, name: String, valueExpr: String): DataFrame =
+    spark.sql(s"DECLARE OR REPLACE VARIABLE `$name` = $valueExpr")
+
+  /** `SHOW <variable>` — session variable if declared, else spark.conf key
+    * (the reference's show_value_node covers both variables and settings). */
+  def showValue(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val asVar =
+      try Some(spark.sql(s"SELECT `system`.`session`.`$name` AS value").head().get(0))
+      catch { case _: Throwable => None }
+    val v = asVar.orElse(spark.conf.getOption(name)).map(String.valueOf).orNull
+    Seq((name, v)).toDF("name", "value")
+  }
+
+  /** `EXPLAIN` → formatted plan. `EXPLAIN ANALYZE` → execute fully, then
+    * render the physical plan with per-operator runtime metrics (rows,
+    * shuffle sizes, timing) — the reference's QueryStatistics sensor surface
+    * (models/query_statistics.py, serial_engine.py:85-96). */
+  def explain(spark: SparkSession, df: DataFrame, analyze: Boolean): DataFrame = {
+    import spark.implicits._
+    val text =
+      if (!analyze)
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      else {
+        // execute THIS plan (df.write would build a separate QueryExecution
+        // and the metrics would land there instead)
+        df.queryExecution.executedPlan.execute().count()
+        val sb = new StringBuilder
+        def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+          val interesting = p.metrics.filter { case (_, m) => m.value > 0 }
+            .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+          sb.append("  " * depth).append(p.nodeName)
+          if (interesting.nonEmpty) sb.append("  [").append(interesting).append("]")
+          sb.append('\n')
+          p.children.foreach(walk(_, depth + 1))
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan, depth + 1)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan, depth + 1)
+            case _ => ()
+          }
+        }
+        walk(df.queryExecution.executedPlan, 0)
+        sb.toString
+      }
+    text.split('\n').toSeq.toDF("plan")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Meta/ops statement surface (SURVEY.md §7 M5). */
+class MetaSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  private lazy val g = {
+    val g = Graft(spark)
+    g.registerDir(SharedSpark.sf)
+    g
+  }
+
+  test("SHOW COLUMNS lists schema") {
+    val rows = g.query("SHOW COLUMNS FROM nation").collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey"))
+  }
+
+  test("SHOW EXTENDED COLUMNS computes stats in one pass") {
+    val rows = g.query("SHOW EXTENDED COLUMNS FROM region").collect()
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("r_regionkey").getAs[Long]("count") == 5L)
+    assert(byName("r_regionkey").getAs[Long]("nulls") == 0L)
+    assert(byName("r_regionkey").getAs[String]("min") == "0")
+  }
+
+  test("SET @var then reference via @var and SHOW") {
+    g.query("SET @threshold = 3")
+    val n = g.query("SELECT count(*) AS n FROM nation WHERE n_regionkey < @threshold").head().getLong(0)
+    val direct = g.query("SELECT count(*) AS n FROM nation WHERE n_regionkey < 3").head().getLong(0)
+    assert(n == direct && n > 0)
+    assert(g.query("SHOW threshold").head().getString(1) == "3")
+  }
+
+  test("SHOW of a spark conf key") {
+    val v = g.query("SHOW spark.sql.shuffle.partitions").head().getString(1)
+    assert(v.toInt > 0)
+  }
+
+  test("EXPLAIN returns a formatted plan") {
+    val plan = g.query("EXPLAIN SELECT count(*) FROM nation").collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+  }
+
+  test("EXPLAIN ANALYZE executes and reports runtime metrics") {
+    val plan = g.query("EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("=") && plan.nonEmpty)
+  }
+
+  test("@var inside string literal is untouched") {
+    val s = g.query("SELECT 'mail@example' AS e").head().getString(0)
+    assert(s == "mail@example")
+  }
+}
