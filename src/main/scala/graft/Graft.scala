@@ -56,6 +56,10 @@ class Graft(val spark: SparkSession) {
       case _ => ()
     }
     val rw = GraftSql.rewrite(sql)
+    // $variables is session-state-dependent — refresh it per statement
+    if (rw.sql.contains(graft.sources.VirtualDatasets.prefix + "variables"))
+      graft.sources.VirtualDatasets.variables(spark)
+        .createOrReplaceTempView(graft.sources.VirtualDatasets.prefix + "variables")
     // zero-config path tables → temp views (Catalyst prunes/pushes down into
     // the scan exactly as for a catalog table)
     rw.pathTables.foreach { p =>

@@ -44,7 +44,7 @@ object GraftSession {
   def create(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Functions.registerAll(spark)
+    prepare(spark)
     spark
   }
 
@@ -52,6 +52,7 @@ object GraftSession {
     * (Verify/Bench build their own sessions per the driver contract). */
   def prepare(spark: SparkSession): SparkSession = {
     Functions.registerAll(spark)
+    graft.sources.VirtualDatasets.register(spark)
     spark
   }
 }

@@ -42,6 +42,8 @@ object GraftSql {
     s = rewriteJsonOps(s)
     s = rewriteDistinctOn(s)
     s = rewriteVariables(s)
+    s = rewriteVirtualTables(s)
+    s = rewriteTableFunctions(s)
     Rewritten(s.trim, ranges, paths)
   }
 
@@ -171,6 +173,40 @@ object GraftSql {
     mapOutsideLiterals(sql) {
       _.replaceAll("""@(\w+)""", "system.session.$1")
     }
+
+  // -- virtual datasets + table functions -------------------------------------
+
+  /** `$planets` etc. → registered view names (Spark unquoted identifiers
+    * exclude `$`; reference registry at opteryx/virtual_datasets/__init__.py:13-24). */
+  private def rewriteVirtualTables(sql: String): String =
+    mapOutsideLiterals(sql) {
+      _.replaceAll("""\$([A-Za-z_]\w*)""", graft.sources.VirtualDatasets.prefix + "$1")
+    }
+
+  private val fakeFn = """(?i)\bFAKE\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** Table functions (reference: opteryx/operators/function_dataset_node.py:583-651):
+    * FAKE(rows, cols) → range + rand() projection; GENERATE_SERIES / UNNEST →
+    * Spark's native sequence()/explode() table-valued functions. */
+  private def rewriteTableFunctions(sql: String): String = {
+    var s = mapOutsideLiterals(sql) { text =>
+      fakeFn.replaceAllIn(text, m => {
+        val cols = (0 until m.group(2).toInt)
+          .map(i => s"rand() AS column_$i").mkString(", ")
+        Matcher.quoteReplacement(s"(SELECT $cols FROM range(0, ${m.group(1)}))")
+      })
+    }
+    s = mapOutsideLiterals(s) { text =>
+      text
+        .replaceAll("""(?i)\bGENERATE_SERIES\s*\(""", "explode(sequence(")
+        .replaceAll("""(?i)\bUNNEST\s*\(""", "explode(")
+    }
+    // close the extra paren opened by the sequence( splice
+    if (s != sql && s.contains("explode(sequence(")) {
+      s = s.replaceAll("""(?i)explode\(sequence\(([^)]*)\)""", "explode(sequence($1))")
+    }
+    s
+  }
 
   // -- DISTINCT ON -----------------------------------------------------------
 

@@ -62,6 +62,32 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.head().getInt(0) == 1)
   }
 
+  test("virtual datasets: $planets, $satellites, $no_table, $stop_words, $variables") {
+    assert(g.query("SELECT count(*) AS n FROM $planets").head().getLong(0) == 9)
+    assert(g.query("SELECT name FROM $planets WHERE id = 3").head().getString(0) == "Earth")
+    val j = g.query("""
+      SELECT p.name, count(*) AS n_sats
+      FROM $planets p JOIN $satellites s ON p.id = s.planet_id
+      GROUP BY p.name ORDER BY n_sats DESC, p.name LIMIT 3""").collect()
+    assert(j.length == 3)
+    assert(g.query("SELECT 1 AS one FROM $no_table").head().getInt(0) == 1)
+    assert(g.query("SELECT count(*) AS n FROM $stop_words").head().getLong(0) > 100)
+    assert(g.query("SELECT count(*) AS n FROM $variables").head().getLong(0) > 0)
+  }
+
+  test("FAKE table function generates random columns") {
+    val df = g.query("SELECT * FROM FAKE(100, 3)")
+    assert(df.columns.toSeq == Seq("column_0", "column_1", "column_2"))
+    assert(df.count() == 100)
+  }
+
+  test("GENERATE_SERIES and UNNEST table functions") {
+    val s = g.query("SELECT sum(col) AS s FROM (SELECT * FROM GENERATE_SERIES(1, 100))")
+    assert(s.head().getLong(0) == 5050)
+    val u = g.query("SELECT col AS v FROM (SELECT * FROM UNNEST(array(10, 20, 30)))")
+    assert(u.collect().map(_.getInt(0)).toSeq == Seq(10, 20, 30))
+  }
+
   test("explain returns a formatted plan") {
     val plan = g.explain("SELECT count(*) FROM lineitem WHERE l_quantity > 10")
     assert(plan.contains("Scan parquet") || plan.contains("PushedFilters") || plan.nonEmpty)
