@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Functions, QueryDef, Tables}
+
+/** Pipeline coverage batch 2: the IVF-style ANN scale path and a composed
+  * end-to-end training-data pipeline (quality filter → exact dedup →
+  * corpus stats).
+  */
+object PipelineQueries2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // IVF-flavored ANN: deterministic coarse quantizer (first 16 vectors as
+    // centroids), every vector assigned to its nearest centroid (the
+    // "inverted list"), queries probe their 4 nearest centroids and rerank
+    // exactly within the probed lists only.
+    //
+    // Scale shape: centroids are tiny → broadcast everywhere; assignment is
+    // one broadcast-join + per-vector top-1 (map-side, no shuffle of the
+    // corpus); candidate generation is an equi-join on cluster id (shuffle
+    // on cluster, i.e. |corpus|/|clusters| fan-out instead of |corpus|²).
+    // At 100 TB the same plan holds with k-means-trained centroids.
+    QueryDef("p15_ann_ivf", Some("""
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      assign AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT e.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                            c.cent_id) AS rn
+          FROM embeddings e, cents c) t WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cent_id FROM (
+          SELECT q.vec_id AS q_id, c.cent_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                            c.cent_id) AS rn
+          FROM embeddings q, cents c WHERE q.vec_id < 5) t WHERE rn <= 4),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id AS n_id
+        FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.q_id)
+      SELECT q_id, n_id, sim, rn FROM (
+        SELECT c.q_id, c.n_id,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS sim,
+               row_number() OVER (PARTITION BY c.q_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                          c.n_id) AS rn
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.q_id
+        JOIN embeddings n ON n.vec_id = c.n_id) t
+      WHERE rn <= 5 ORDER BY q_id, rn""")) { (s, dir) =>
+      val e = Tables.df(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      def nearest(src: DataFrame, idCol: String, keep: Int): DataFrame = {
+        val cos = Functions.cosineSimilarity(col("embedding"), col("cvec"))
+        val w = Window.partitionBy(col(idCol)).orderBy(cos.desc, col("cent_id"))
+        src.crossJoin(broadcast(cents))
+          .select(col(idCol), col("cent_id"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= keep).drop("rn")
+      }
+      val assign = nearest(e, "vec_id", 1)
+      val probes = nearest(
+        e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id"), "q_id", 4)
+      val cand = probes.join(assign, "cent_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
+      val cos = Functions.cosineSimilarity(col("qvec"), col("nvec"))
+      val w = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("n_id"))
+      cand.join(broadcast(q), "q_id").join(n, "n_id")
+        .select(col("q_id"), col("n_id"), round(cos, 6).as("sim"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // End-to-end training-data pipeline pass: token-count quality gate →
+    // exact content dedup (hash-groupBy) → corpus summary. One scan, two
+    // hash aggregations — the minimal-shuffle shape of a 100-TB cleaning job.
+    QueryDef("p16_pipeline_e2e", Some("""
+      SELECT count(*) AS n_kept,
+             sum(dup_cnt - 1) AS n_dups_removed,
+             sum(toks) AS total_tokens,
+             round(avg(toks), 4) AS avg_tokens
+      FROM (
+        SELECT md5(lower(text)) AS h, count(*) AS dup_cnt,
+               min(len(string_split_regex(text, '\s+'))) AS toks
+        FROM documents
+        WHERE n_chars BETWEEN 60 AND 500
+          AND len(string_split_regex(text, '\s+')) >= 8
+        GROUP BY md5(lower(text))) d""")) { (s, dir) =>
+      val toks = size(split(col("text"), "\\s+"))
+      Tables.df(s, dir, "documents")
+        .filter(col("n_chars").between(60, 500) && toks >= 8)
+        .groupBy(md5(lower(col("text"))).as("h"))
+        .agg(count(lit(1)).as("dup_cnt"), min(toks).as("toks"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("dup_cnt") - 1).as("n_dups_removed"),
+          sum(col("toks")).as("total_tokens"),
+          round(avg(col("toks")), 4).as("avg_tokens"))
+    }
+  )
+}
