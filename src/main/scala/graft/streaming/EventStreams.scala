@@ -58,6 +58,46 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with time-range condition: each 'view' event
+    * matched to 'click' events of the same user within the following hour.
+    * Both sides watermarked so join state is bounded (the condition's time
+    * bound is what lets Spark expire buffered rows). */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    views.join(clicks,
+      col("v_user") === col("c_user")
+        && col("c_ts") >= col("v_ts")
+        && col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running event
+    * count + value sum, emitting an updated row per user per micro-batch.
+    * This is the extension point the reference lacks entirely (its engine is
+    * batch-only): arbitrary per-key state machines with bounded state. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator((user, n, s))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Read the events table as a bounded stream (used by tests; in production
     * the source would be kafka/files arriving continuously). Watermarks
     * require TIMESTAMP (with local tz), not NTZ — with the session pinned to

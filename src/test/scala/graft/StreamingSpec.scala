@@ -64,4 +64,45 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.table("sess_agg").count()
     assert(n > 0)
   }
+
+  test("stream-stream time-range join matches batch equivalent") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.streamStreamJoin(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ss_join").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ss_join").count()
+
+    val ev = Tables.df(spark, SharedSpark.sf, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = v.join(c, col("v_user") === col("c_user")
+      && col("c_ts") >= col("v_ts")
+      && col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR")).count()
+    assert(streamed == batch)
+    assert(streamed > 0)
+  }
+
+  test("flatMapGroupsWithState running totals match batch groupBy") {
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    val q = EventStreams.runningUserTotals(spark, stream)
+      .writeStream.outputMode("update").format("memory").queryName("run_tot").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // last emitted row per user == final totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val finalRows = spark.table("run_tot")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batch = Tables.df(spark, SharedSpark.sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalRows == batch)
+  }
 }
