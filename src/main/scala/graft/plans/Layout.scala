@@ -23,10 +23,19 @@ object Layout {
   /** Write `df` bucketed+sorted by `key` as a managed table, so subsequent
     * equi-joins/aggregations on `key` skip their Exchange (and the sort,
     * because buckets are written sorted). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a stray location from a previous JVM (table metadata is per-session but
+    // the warehouse dir persists) would fail CREATE TABLE AS — clear it
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Salted inner equi-join for skewed keys.
     *
