@@ -40,7 +40,37 @@ class Graft(val spark: SparkSession) {
   /** Run a statement in the graft dialect (ANSI Spark SQL + the reference's
     * extensions). Positional `?` parameters are bound injection-safe via
     * Spark's parameterized-SQL API. */
+  /** JSON-defined views + prepared statements (reference:
+    * opteryx/planner/views, EXECUTE at logical_planner.py:757-827). */
+  val views = new graft.sources.Views(spark)
+  private val prepared = scala.collection.mutable.Map.empty[String, String]
+
+  def defineView(name: String, sql: String): Unit = {
+    views.define(name, sql)
+    query(sql).createOrReplaceTempView(name)
+  }
+  def loadViews(path: String): Unit = {
+    views.loadJson(path)
+    views.materializeAll(s => GraftSql.rewrite(s).sql)
+  }
+  def prepare(name: String, sql: String): Unit = prepared(name) = sql
+
+  private val executeRe = """(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$""".r
+
   def query(sql: String, args: Any*): DataFrame = {
+    // EXECUTE <prepared> (p1, p2, ...) — positional binds, injection-safe
+    sql match {
+      case executeRe(name, params) if prepared.contains(name) =>
+        val bound: Seq[Any] = Option(params).filter(_.trim.nonEmpty).toSeq
+          .flatMap(_.split(",").toSeq.map(_.trim).map {
+            case s if s.startsWith("'") && s.endsWith("'") => s.substring(1, s.length - 1)
+            case n if n.matches("""-?\d+""") => n.toLong
+            case d if d.matches("""-?\d*\.\d+""") => d.toDouble
+            case other => other
+          })
+        return query(prepared(name), bound: _*)
+      case _ => ()
+    }
     // meta-statement surface (SHOW COLUMNS / SET @var / SHOW var / EXPLAIN)
     sql match {
       case Meta.ShowColumnsRe(ext, table) =>

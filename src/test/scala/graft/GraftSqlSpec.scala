@@ -88,6 +88,25 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(u.collect().map(_.getInt(0)).toSeq == Seq(10, 20, 30))
   }
 
+  test("JSON views define, load, and compose with the dialect") {
+    g.defineView("big_orders", "SELECT * FROM orders WHERE o_totalprice > 200000")
+    assert(g.query("SELECT count(*) AS n FROM big_orders").head().getLong(0) > 0)
+    val vf = java.nio.file.Files.createTempFile("views", ".json")
+    java.nio.file.Files.writeString(vf,
+      """{"nation_json": "SELECT n_nationkey AS k, upper(n_name) AS nm FROM nation"}""")
+    g.loadViews(vf.toString)
+    assert(g.query("SELECT count(*) AS n FROM nation_json").head().getLong(0) == 25)
+  }
+
+  test("EXECUTE prepared statements bind positionally") {
+    g.prepare("cust_by_nation", "SELECT count(*) AS n FROM customer WHERE c_nationkey = ?")
+    val viaExec = g.query("EXECUTE cust_by_nation (3)").head().getLong(0)
+    val direct = g.query("SELECT count(*) AS n FROM customer WHERE c_nationkey = 3").head().getLong(0)
+    assert(viaExec == direct && viaExec > 0)
+    g.prepare("seg", "SELECT count(*) AS n FROM customer WHERE c_mktsegment = ?")
+    assert(g.query("EXECUTE seg ('BUILDING')").head().getLong(0) > 0)
+  }
+
   test("explain returns a formatted plan") {
     val plan = g.explain("SELECT count(*) FROM lineitem WHERE l_quantity > 10")
     assert(plan.contains("Scan parquet") || plan.contains("PushedFilters") || plan.nonEmpty)
