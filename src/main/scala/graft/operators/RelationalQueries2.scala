@@ -488,6 +488,60 @@ object RelationalQueries2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // Kleene three-valued logic + null-strict functions (reference: filter
+    // Kleene nulls at opteryx/operators/filter_node.py:66-82; null-compressed
+    // function application at opteryx/functions/__init__.py:661-721; unary IS
+    // ops at managers/expression/unary_operations.py:121-127). nullif injects
+    // NULLs deterministically so every branch is exercised.
+    QueryDef("q64_null_semantics", Some("""
+      SELECT n_nationkey,
+             v IS NULL AS is_n,
+             v IS NOT NULL AS is_nn,
+             (v > 10) IS NOT TRUE AS not_true,
+             (v > 10) IS NOT FALSE AS not_false,
+             ((v > 10) AND (n_regionkey = 0)) AS and3,
+             ((v > 10) OR (n_regionkey = 0)) AS or3,
+             v IS NOT DISTINCT FROM n_nationkey AS nse,
+             upper(CAST(v AS VARCHAR)) AS up_null,
+             n_nationkey NOT IN (1, 2) AS notin,
+             len(list_filter(CAST([] AS INTEGER[]), y -> y > 0)) > 0 AS any_empty,
+             len(list_filter(CAST([] AS INTEGER[]), y -> y > 0)) = 0 AS all_empty
+      FROM (SELECT n_nationkey, n_regionkey, nullif(n_nationkey % 7, 3) AS v FROM nation) t
+      ORDER BY n_nationkey""")) { (s, dir) =>
+      Tables.df(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"),
+          nullif(col("n_nationkey") % 7, lit(3)).as("v"))
+        .select(
+          col("n_nationkey"),
+          col("v").isNull.as("is_n"),
+          col("v").isNotNull.as("is_nn"),
+          expr("(v > 10) IS NOT TRUE").as("not_true"),
+          expr("(v > 10) IS NOT FALSE").as("not_false"),
+          ((col("v") > 10) && (col("n_regionkey") === 0)).as("and3"),
+          ((col("v") > 10) || (col("n_regionkey") === 0)).as("or3"),
+          (col("v") <=> col("n_nationkey")).as("nse"),
+          upper(col("v").cast("string")).as("up_null"),
+          (!col("n_nationkey").isin(1, 2)).as("notin"),
+          exists(lit(Array.empty[Int]), y => y > 0).as("any_empty"),
+          forall(lit(Array.empty[Int]), y => y > 0).as("all_empty"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // NOT IN against a list containing NULL — the classic three-valued trap:
+    // x NOT IN (..., NULL) is never TRUE, so the filter returns zero rows on
+    // both engines (reference ops table: managers/expression/ops.py:150-260).
+    QueryDef("q65_not_in_null", Some("""
+      SELECT count(*) AS n FROM nation
+      WHERE n_nationkey NOT IN (SELECT nullif(s_nationkey, s_nationkey) FROM supplier)""")) { (s, dir) =>
+      val nulls = Tables.df(s, dir, "supplier")
+        .select(nullif(col("s_nationkey"), col("s_nationkey")).as("k"))
+      val n = Tables.df(s, dir, "nation")
+      // NOT IN (subquery) = null-aware anti join — Spark plans exactly that
+      n.join(nulls, n("n_nationkey") <=> nulls("k")
+          || nulls("k").isNull || n("n_nationkey").isNull, "left_anti")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // Schema-on-read drift: union by name with typed-null backfill (reference
     // normalize_morsel at opteryx/operators/read_node.py:91-129).
     QueryDef("q63_union_byname", Some("""
