@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+
+/** Plan-shape invariants for the scale-critical queries: these assert the
+  * 100-TB qualities (pushdown reaching the scan, pruned read schemas,
+  * broadcast dims, top-N fusion) rather than results, so a regression in
+  * plan quality fails CI even while answers stay correct.
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, SharedSpark.sf)
+
+  private def planOf(df: DataFrame): SparkPlan = {
+    df.queryExecution.executedPlan.execute().count()
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(x: SparkPlan): Unit = {
+      buf += x
+      x.children.foreach(walk)
+      x match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      x.subqueries.foreach(walk)
+    }
+    walk(p)
+    buf.toSeq
+  }
+
+  test("q40 (TPC-H Q6 shape): filters push into the parquet scan, schema pruned") {
+    val scans = collectAll(planOf(run("q40_tpch_q6"))).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val s = scans.head
+    assert(s.dataFilters.nonEmpty, "expected data filters at the scan")
+    val readCols = s.requiredSchema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")),
+      s"scan reads more than needed: $readCols")
+  }
+
+  test("q03 (projection): scan reads only referenced columns") {
+    val scans = collectAll(planOf(run("q03_projection"))).collect { case f: FileSourceScanExec => f }
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("n_nationkey", "n_name", "n_regionkey"),
+      s"unexpected read schema: $readCols")
+  }
+
+  test("q39 (multijoin): dimensions broadcast — at most one shuffle join") {
+    val nodes = collectAll(planOf(run("q39_multijoin")))
+    val bhj = nodes.count(_.nodeName.contains("BroadcastHashJoin"))
+    val smj = nodes.count(n => n.nodeName.contains("SortMergeJoin")
+      || n.nodeName.contains("ShuffledHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj")
+    assert(smj <= 1, s"expected <=1 shuffle join, got $smj")
+  }
+
+  test("q19 (top-N): order+limit fuses to TakeOrderedAndProject") {
+    val nodes = collectAll(planOf(run("q19_topn")))
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"no top-N fusion in: ${nodes.map(_.nodeName).distinct}")
+  }
+
+  test("q01 (group agg): partial aggregation before the exchange") {
+    val nodes = collectAll(planOf(run("q01_group_agg")))
+    val aggs = nodes.filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2, "expected partial+final HashAggregate pair")
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 2, s"group-agg should shuffle once (+order), got $exchanges")
+  }
+
+  test("p07 (LSH signatures): map-only — zero shuffle exchanges before sort") {
+    val nodes = collectAll(planOf(run("p07_similarity_lsh")))
+    val exchanges = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    // only the final ORDER BY may exchange
+    assert(exchanges <= 1, s"signature stage must not shuffle, got $exchanges")
+  }
+
+  test("whole-stage codegen covers the hot relational paths") {
+    val nodes = collectAll(planOf(run("q04_filter_complex")))
+    assert(nodes.exists(_.nodeName.contains("WholeStageCodegen")),
+      "expected WholeStageCodegen spans")
+  }
+}
