@@ -141,8 +141,20 @@ object Functions {
       val chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
       (0 until n).map(_ => chars(r.nextInt(chars.length))).mkString
     })
+    // MATCH_AGAINST(text, query): tokenize both sides (lowercase, strip
+    // punctuation, drop stop words); true iff query tokens ⊆ text tokens
+    // (reference: opteryx/functions/string_functions.py:264-289).
+    val stops = MatchAgainst.stopWords
+    spark.udf.register("match_against", (text: String, query: String) => {
+      if (text == null || query == null) null.asInstanceOf[java.lang.Boolean]
+      else {
+        val q = MatchAgainst.tokens(query, stops)
+        if (q.isEmpty) java.lang.Boolean.FALSE
+        else java.lang.Boolean.valueOf(q.subsetOf(MatchAgainst.tokens(text, stops)))
+      }
+    })
     // Expression-composed registrations stay codegen-friendly:
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, InitCap, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, InitCap, IsNotNull, Literal, Rand, Randn, XxHash64}
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("title",
@@ -160,5 +172,27 @@ object Functions {
       (es: Seq[Expression]) => graft.functions.NativeExpressions.MinHashSignatureExpr(
         es(0), es(1).eval().asInstanceOf[Int]),
       "internal")
+    // IIF(cond, a, b) — ternary spelling (reference: functions/__init__.py:604)
+    reg.createOrReplaceTempFunction("iif",
+      (es: Seq[Expression]) => If(es(0), es(1), es(2)), "internal")
+    // IFNOTNULL(v, r): r when v IS NOT NULL else NULL (reference:
+    // other_functions.py:144-156 — NOT ifnull; preserves null-awareness)
+    reg.createOrReplaceTempFunction("ifnotnull",
+      (es: Seq[Expression]) => If(IsNotNull(es(0)), es(1),
+        Cast(Literal(null), es(1).dataType)), "internal")
+    // NORMAL() — standard-normal random (reference: functions/__init__.py:582)
+    reg.createOrReplaceTempFunction("normal",
+      (_: Seq[Expression]) => new Randn(), "internal")
+  }
+
+  /** Tokenization shared by MATCH_AGAINST. */
+  private[graft] object MatchAgainst {
+    val stopWords: Set[String] = Set("a", "an", "and", "are", "as", "at",
+      "be", "but", "by", "for", "if", "in", "into", "is", "it", "no", "not",
+      "of", "on", "or", "such", "that", "the", "their", "then", "there",
+      "these", "they", "this", "to", "was", "will", "with")
+    def tokens(s: String, stops: Set[String]): Set[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .split("\\s+").filter(t => t.nonEmpty && !stops.contains(t)).toSet
   }
 }
