@@ -113,6 +113,15 @@ class Graft(val spark: SparkSession) {
     else spark.sql(rw.sql)
   }
 
+  /** Stream results incrementally — the reference's
+    * `query_to_arrow_batches` surface (opteryx/__init__.py:228-264): rows
+    * arrive partition by partition without materializing the full result on
+    * the driver. */
+  def stream(sql: String, args: Any*): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    query(sql, args: _*).toLocalIterator().asScala
+  }
+
   def explain(sql: String): String = {
     val rw = GraftSql.rewrite(sql)
     spark.sql(rw.sql).queryExecution.explainString(

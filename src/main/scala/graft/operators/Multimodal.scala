@@ -89,6 +89,21 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: binary→binary transform with target dims carried in the
+    * row (decode+re-encode stubbed: the fake payload is a digest of source
+    * bytes + target box, so downstream stages see distinct, deterministic
+    * payloads). Partition-local map, same no-shuffle shape as extract. */
+  def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val fake = java.security.MessageDigest.getInstance("MD5")
+          .digest(a.payload ++ s":$maxW:$maxH".getBytes("UTF-8"))
+        a.copy(payload = fake, mime = a.mime + s";resized=${maxW}x$maxH")
+      }
+    }
+  }
+
   /** Frame-sampling shape for video: explode N sample offsets per asset —
     * the row-multiplying pattern a video pipeline uses, with the decode
     * itself stubbed. */

@@ -33,4 +33,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.count() == 20)
     assert(frames.select(countDistinct(col("frame_digest"))).head().getLong(0) == 20)
   }
+
+  test("resize stage rewrites payloads deterministically, keeps ids") {
+    val assets = Multimodal.assetsFromDocuments(spark, SharedSpark.sf).limit(10)
+    val resized = Multimodal.resize(assets, 256, 256)
+    val orig = assets.collect().map(a => a.asset_id -> a.payload.toSeq).toMap
+    val out = resized.collect()
+    assert(out.length == 10)
+    out.foreach { a =>
+      assert(a.mime.endsWith("resized=256x256"))
+      assert(a.payload.toSeq != orig(a.asset_id), "payload must change")
+    }
+    // deterministic: same input + box → same bytes
+    val again = Multimodal.resize(assets, 256, 256).collect()
+      .map(a => a.asset_id -> a.payload.toSeq).toMap
+    out.foreach(a => assert(a.payload.toSeq == again(a.asset_id)))
+  }
+
+  test("Graft.stream yields rows incrementally") {
+    val g = Graft(spark)
+    g.registerDir(SharedSpark.sf)
+    val it = g.stream("SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    assert(it.take(3).map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+  }
 }
