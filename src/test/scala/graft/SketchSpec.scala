@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the cardinality/quantile tooling a
+  * 100-TB pipeline uses where exact answers don't fit (beyond the reference,
+  * which has only exact aggregates + APPROXIMATE_MEDIAN). All built on
+  * Spark's native implementations (HLL++ / Datasketches HLL / KLL-style
+  * quantiles), i.e. mergeable across partitions with bounded state.
+  */
+class SketchSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  private lazy val li = Tables.df(spark, SharedSpark.sf, "lineitem")
+
+  test("approx_count_distinct within 2% of exact") {
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.01)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+
+  test("datasketches HLL: mergeable across groups") {
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val merged = perFlag.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head().getLong(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged HLL=$merged exact=$exact")
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val exact = li.select(expr("percentile(l_quantity, 0.5)")).head().getDouble(0)
+    val approx = li.select(
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000))).head().getDouble(0)
+    assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
+  }
+
+  test("count_min_sketch estimates heavy-hitter frequency") {
+    val sketch = li.select(
+      count_min_sketch(col("l_returnflag"), lit(0.01), lit(0.99), lit(42)).as("cms"))
+    assert(sketch.head().get(0) != null)
+  }
+}

@@ -86,6 +86,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed > 0)
   }
 
+  test("readStream -> windowed agg -> writeStream parquet sink round-trip") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val stream = EventStreams.readEventStream(spark, eventsDir)
+    // group by the intact window column — projecting window.start inside the
+    // groupBy would strip the event-time metadata append mode requires
+    val agg = stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    val q = agg
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .format("parquet").option("path", s"$out/data").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val written = spark.read.parquet(s"$out/data")
+    // append mode emits only watermark-closed windows; with day-spanning
+    // data all but the trailing hour close
+    assert(written.count() > 0)
+    assert(written.columns.toSet == Set("window_start", "event_type", "n", "total"))
+  }
+
   test("flatMapGroupsWithState running totals match batch groupBy") {
     val stream = EventStreams.readEventStream(spark, eventsDir)
     val q = EventStreams.runningUserTotals(spark, stream)
