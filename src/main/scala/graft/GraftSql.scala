@@ -211,18 +211,21 @@ object GraftSql {
   // -- DISTINCT ON -----------------------------------------------------------
 
   private val distinctOn =
-    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+(.*?)\s+FROM\s+(.*?)(\s+ORDER\s+BY\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+(.*?)\s+FROM\s+(.*?)(\s+ORDER\s+BY\s+(.+?))?(\s+LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?)?\s*;?\s*$""".r
 
-  /** `SELECT DISTINCT ON (k) cols FROM t ORDER BY o` →
+  /** `SELECT DISTINCT ON (k) cols FROM t ORDER BY o [LIMIT n]` →
     * first row per k under o, deterministic (reference picks the first seen
-    * row; with ORDER BY the choice is well-defined). */
+    * row; with ORDER BY the choice is well-defined). An outer ORDER BY/LIMIT
+    * stays outside the ranking window. */
   private def rewriteDistinctOn(sql: String): String = sql match {
-    case distinctOn(keys, sel, from, _, order) =>
+    case distinctOn(keys, sel, from, _, order, limit) =>
       val ord = Option(order).map(_.trim).filter(_.nonEmpty).getOrElse(keys.trim)
+      val tail = Option(order).map(o => s" ORDER BY ${o.trim}").getOrElse("") +
+        Option(limit).map(_.trim).map(" " + _).getOrElse("")
       s"""SELECT ${sel.trim} FROM (
          |  SELECT *, row_number() OVER (PARTITION BY ${keys.trim} ORDER BY $ord) AS __g_rn
          |  FROM $from
-         |) WHERE __g_rn = 1""".stripMargin
+         |) WHERE __g_rn = 1$tail""".stripMargin
     case other => other
   }
 }
