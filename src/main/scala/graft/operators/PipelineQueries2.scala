@@ -81,6 +81,62 @@ object PipelineQueries2 {
         .orderBy(col("q_id"), col("rn"))
     },
 
+    // Jaccard with a document-frequency cap — the scale path next to p04's
+    // exact baseline. Shingles occurring in more than 2% of the corpus are
+    // excluded from BLOCKING (they connect ~everything: stop-phrase blowup
+    // is what makes naive shingle joins quadratic at 100 TB); the Jaccard
+    // numerator/denominator then count capped shingles only, identically on
+    // both engines. Candidate volume drops from O(hot²) to near-linear.
+    QueryDef("p17_dedup_jaccard_capped", Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
+          SELECT doc_id, list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')) AS sh
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                FROM documents) x) y),
+      df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle),
+      rare AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.n_docs <= greatest(2, CAST((SELECT count(*) FROM documents) * 0.02 AS BIGINT))),
+      sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b,
+             round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      ORDER BY doc_a, doc_b""")) { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+      val nDocs = docs.count()
+      val cap = math.max(2L, (nDocs * 0.02).toLong)
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(graft.Functions.wordShingles(
+          split(lower(col("text")), "\\s+"), 3))).as("shingle"))
+      val df = sh.groupBy(col("shingle").as("df_sh"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") <= cap).select(col("df_sh"))
+      val rare = sh.join(df, sh("shingle") === col("df_sh")).drop("df_sh")
+      val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = rare.alias("a")
+      val b = rare.alias("b")
+      val inter = a.join(b, col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val jac = col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))
+      inter
+        .join(sizes.alias("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.alias("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // End-to-end training-data pipeline pass: token-count quality gate →
     // exact content dedup (hash-groupBy) → corpus summary. One scan, two
     // hash aggregations — the minimal-shuffle shape of a 100-TB cleaning job.
