@@ -117,10 +117,13 @@ object PipelineQueries2 {
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           split(lower(col("text")), "\\s+"), 3))).as("shingle"))
-      val df = sh.groupBy(col("shingle").as("df_sh"))
-        .agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") <= cap).select(col("df_sh"))
-      val rare = sh.join(df, sh("shingle") === col("df_sh")).drop("df_sh")
+      // document frequency via a whole-partition window on the shingle key:
+      // one shuffle (same key the pair join needs) instead of aggregate +
+      // join-back — the count rides along with the rows
+      val rare = sh.withColumn("n_docs",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shingle"))))
+        .filter(col("n_docs") <= cap).drop("n_docs")
       val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = rare.alias("a")
       val b = rare.alias("b")
