@@ -40,6 +40,7 @@ object GraftSql {
     val (afterPaths, paths) = extractPathTables(s)
     s = afterPaths
     s = rewriteJsonOps(s)
+    s = rewriteQuantified(s)
     s = rewriteDistinctOn(s)
     s = rewriteVariables(s)
     s = rewriteVirtualTables(s)
@@ -146,9 +147,30 @@ object GraftSql {
   private val arrowOp = """([\w.\)\]]+)\s*->>?\s*'([^']+)'""".r
   private val arrowIdx = """([\w.\)\]]+)\s*->>?\s*(\d+)""".r
   private val atQuestion = """([\w.\)\]]+)\s*@\?\s*'([^']+)'""".r
+  private val atArrow = """([\w.\)\]]+)\s*@>\s*'(\{[^']*\})'""".r
+
+  /** `col @> '{"k":1,"s":"x"}'` (JSONB containment, reference AtArrow at
+    * opteryx/managers/expression/ops.py:291-365): every key/value of the
+    * literal must match in the column's JSON. Compiled to one
+    * get_json_object conjunct per literal entry. */
+  private def rewriteAtArrow(sql: String): String =
+    atArrow.replaceAllIn(sql, m => {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(m.group(2))
+      val it = node.fields()
+      val conjuncts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val e = it.next()
+        val v = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
+        conjuncts += s"get_json_object(${m.group(1)}, '$$.${e.getKey}') = '${v.replace("'", "''")}'"
+      }
+      Matcher.quoteReplacement(
+        if (conjuncts.isEmpty) "TRUE" else conjuncts.mkString("(", " AND ", ")"))
+    })
 
   private def rewriteJsonOps(sql: String): String = {
     var s = sql
+    if (s.contains("@>")) s = rewriteAtArrow(s)
     if (s.contains("@?"))
       s = atQuestion.replaceAllIn(s, m => Matcher.quoteReplacement(
         s"get_json_object(${m.group(1)}, '${jsonPath(m.group(2))}') IS NOT NULL"))
@@ -163,6 +185,32 @@ object GraftSql {
 
   private def jsonPath(key: String): String =
     if (key.startsWith("$")) key else s"$$.$key"
+
+  // -- array-quantified comparisons -------------------------------------------
+
+  private val anyOp = """(?i)('[^']*'|[\w.]+)\s*(=|!=|<>|>=|<=|>|<)\s*ANY\s*\(\s*([\w.]+)\s*\)""".r
+  private val allOp = """(?i)('[^']*'|[\w.]+)\s*(=|!=|<>)\s*ALL\s*\(\s*([\w.]+)\s*\)""".r
+  private val anyLike = """(?i)('[^']*'|[\w.]+)\s+(I?LIKE)\s+ANY\s*\(\s*([\w.]+)\s*\)""".r
+
+  /** Scalar-vs-array quantified comparisons (reference:
+    * opteryx/managers/expression/ops.py:254-290 — `x = ANY(arr)`,
+    * `x != ALL(arr)`, `x LIKE ANY(arr)`) → Spark higher-order
+    * `exists`/`forall` lambdas, which stay codegen-friendly. */
+  private def rewriteQuantified(sql: String): String = {
+    var s = sql
+    if (s.toUpperCase.contains("ANY") || s.toUpperCase.contains("ALL")) {
+      s = anyLike.replaceAllIn(s, m => {
+        val like = if (m.group(2).equalsIgnoreCase("ILIKE"))
+          s"ilike(__x, ${m.group(1)})" else s"__x LIKE ${m.group(1)}"
+        Matcher.quoteReplacement(s"exists(${m.group(3)}, __x -> $like)")
+      })
+      s = anyOp.replaceAllIn(s, m => Matcher.quoteReplacement(
+        s"exists(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)"))
+      s = allOp.replaceAllIn(s, m => Matcher.quoteReplacement(
+        s"forall(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)"))
+    }
+    s
+  }
 
   // -- @variables ------------------------------------------------------------
 
