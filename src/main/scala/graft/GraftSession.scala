@@ -40,6 +40,14 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Spill sizing for the 100-TB target: 128 MiB input splits and 64 MiB
+      // post-shuffle advisory partitions keep per-task state well under
+      // executor memory even at full scale, and AQE coalesces the tiny-SF
+      // case back down (the reference never spills — it buffers whole
+      // aggregations in RAM, aggregate_node.py:218-221; Spark's spill path
+      // is what lets the same plans run at 1000x the data).
+      .config("spark.sql.files.maxPartitionBytes", (128 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64 * 1024 * 1024).toString)
 
   def create(): SparkSession = {
     val spark = builder().getOrCreate()
