@@ -144,10 +144,15 @@ object TpchQueries {
       val revenue = li.groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("total_revenue"))
-      val maxRev = revenue.agg(max(col("total_revenue"))).head().getDecimal(0)
+      // global max via an unpartitioned window over the AGGREGATED set (one
+      // row per supplier — small even at 100 TB): lineitem is scanned once,
+      // unlike a separate .agg(max) lineage which would rescan it
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val withMax = revenue.withColumn("mx", max(col("total_revenue")).over(w))
       val sup = Tables.df(s, dir, "supplier")
-      sup.join(revenue, sup("s_suppkey") === revenue("supplier_no"))
-        .filter(col("total_revenue") === maxRev)
+      sup.join(withMax, sup("s_suppkey") === withMax("supplier_no"))
+        .filter(col("total_revenue") === col("mx"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
