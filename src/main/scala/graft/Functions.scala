@@ -41,12 +41,16 @@ object Functions {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Sliding word shingles of width n as space-joined strings (building block
-    * for MinHash / n-gram Jaccard dedup). */
+    * for MinHash / n-gram Jaccard dedup). Documents shorter than n tokens
+    * yield zero shingles (never a partial one) — the same contract as the
+    * oracle spelling `range(1, greatest(len - (n-1), 0) + 1)`. */
   def wordShingles(tokens: Column, n: Int): Column =
-    filter(
-      transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-        i => array_join(slice(tokens, i + 1, lit(n)), " ")),
-      s => length(s) > 0)
+    when(size(tokens) >= n,
+      filter(
+        transform(sequence(lit(0), size(tokens) - n),
+          i => array_join(slice(tokens, i + 1, lit(n)), " ")),
+        s => length(s) > 0))
+      .otherwise(array().cast("array<string>"))
 
   /** 32-bit SimHash over md5-derived token hashes: majority vote per bit.
     * Native kernel (one md5 per token); deterministic and expressible in

@@ -50,10 +50,66 @@ object GraftSql {
 
   // -- comments ---------------------------------------------------------
 
-  private def stripComments(sql: String): String =
-    mapOutsideLiterals(sql) { text =>
-      text.replaceAll("--[^\n]*", " ").replaceAll("(?s)/\\*.*?\\*/", " ")
+  /** Single-pass scanner that understands quotes AND comment delimiters
+    * together: an apostrophe inside a comment (`-- don't`) must not toggle
+    * literal state, and `--` inside a string literal is content, not a
+    * comment. */
+  private def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inStr = false
+        }
+      } else if (c == '\'') { inStr = true; out.append(c) }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        out.append(' ')
+        i -= 1 // leave the newline (if any) to the normal path
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        out.append(' ')
+        i = if (end < 0) sql.length - 1 else end + 1
+      } else out.append(c)
+      i += 1
     }
+    out.toString
+  }
+
+  /** mask(i) = true iff position i sits strictly inside a single-quoted
+    * literal (opening quote excluded, so a regex match that starts AT a
+    * literal — e.g. `'x' = ANY(arr)` — still rewrites; content matches —
+    * e.g. the arrow in `'a -> 1'` — do not). */
+  private def literalMask(sql: String): Array[Boolean] = {
+    val mask = new Array[Boolean](sql.length)
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '\'') { inStr = true; mask(i) = false }
+      else if (inStr && c == '\'') {
+        mask(i) = true
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { mask(i + 1) = true; i += 1 }
+        else inStr = false
+      } else mask(i) = inStr
+      i += 1
+    }
+    mask
+  }
+
+  /** Regex replace that skips matches starting inside a string literal. */
+  private def replaceOutsideLiterals(
+      re: scala.util.matching.Regex, sql: String)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val mask = literalMask(sql)
+    re.replaceAllIn(sql, m =>
+      Matcher.quoteReplacement(if (m.start < mask.length && mask(m.start)) m.matched else f(m)))
+  }
 
   /** Apply a transformation only to the regions of `sql` outside single-quoted
     * string literals (literals are preserved verbatim). */
@@ -87,16 +143,33 @@ object GraftSql {
   // -- temporal FOR clauses ----------------------------------------------
 
   // FROM <rel> FOR <spec> where spec ∈ {TODAY, YESTERDAY, '<ts>',
-  // DATES BETWEEN a AND b, DATES SINCE x, LAST n DAYS}
+  // DATES BETWEEN a AND b, DATES IN <named range>, DATES SINCE x,
+  // LAST n DAYS} (reference: opteryx/planner/sql_rewriter.py:51-55)
   private val forClause =
     ("""(?is)\b(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+""" +
-      """(TODAY|YESTERDAY|'[^']*'|DATES\s+BETWEEN\s+('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)|DATES\s+SINCE\s+('[^']*'|TODAY|YESTERDAY)|LAST\s+(\d+)\s+DAYS)""").r
+      """(TODAY|YESTERDAY|'[^']*'|DATES\s+BETWEEN\s+('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)|DATES\s+IN\s+(\w+)|DATES\s+SINCE\s+('[^']*'|TODAY|YESTERDAY)|LAST\s+(\d+)\s+DAYS)""").r
 
   private def resolveDate(token: String): String = token.trim.toUpperCase match {
     case "TODAY" => "current_date()"
     case "YESTERDAY" => "date_sub(current_date(), 1)"
     case t => t.replaceAll("(?i)^'(.*)'$", "'$1'") // keep quoted literal as-is
   }
+
+  /** `FOR DATES IN <named range>` (reference parse_range at
+    * opteryx/planner/sql_rewriter.py:212-237): THIS_MONTH = first of the
+    * month → now; LAST_MONTH/PREVIOUS_MONTH = the whole previous calendar
+    * month. Resolved to Spark date expressions, evaluated at query time. */
+  private def resolveNamedRange(name: String): (String, String) =
+    name.toUpperCase match {
+      case "THIS_MONTH" =>
+        ("date_trunc('MONTH', current_date())", "current_timestamp()")
+      case "LAST_MONTH" | "PREVIOUS_MONTH" =>
+        ("add_months(date_trunc('MONTH', current_date()), -1)",
+          "date_sub(cast(date_trunc('MONTH', current_date()) as date), 1)")
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unknown temporal range `$other` — expected THIS_MONTH, LAST_MONTH or PREVIOUS_MONTH")
+    }
 
   private def extractTemporal(sql: String): (String, Seq[TemporalRange]) = {
     val ranges = scala.collection.mutable.ArrayBuffer.empty[TemporalRange]
@@ -111,8 +184,9 @@ object GraftSql {
       val specU = spec.toUpperCase
       val (start, end) =
         if (specU.startsWith("DATES BETWEEN")) (resolveDate(m.group(5)), resolveDate(m.group(6)))
-        else if (specU.startsWith("DATES SINCE")) (resolveDate(m.group(7)), "current_timestamp()")
-        else if (specU.startsWith("LAST")) (s"date_sub(current_date(), ${m.group(8)})", "current_timestamp()")
+        else if (specU.startsWith("DATES IN")) resolveNamedRange(m.group(7))
+        else if (specU.startsWith("DATES SINCE")) (resolveDate(m.group(8)), "current_timestamp()")
+        else if (specU.startsWith("LAST")) (s"date_sub(current_date(), ${m.group(9)})", "current_timestamp()")
         else (resolveDate(spec), resolveDate(spec))
       val view = rel.replaceAll("\\W", "_") + "__for_" + ranges.size
       ranges += TemporalRange(rel, start, end, view)
@@ -143,9 +217,6 @@ object GraftSql {
 
   // -- JSON operators ------------------------------------------------------
 
-  // expr ->> 'key'  /  expr -> 'key'  (also integer subscripts)
-  private val arrowOp = """([\w.\)\]]+)\s*->>?\s*'([^']+)'""".r
-  private val arrowIdx = """([\w.\)\]]+)\s*->>?\s*(\d+)""".r
   private val atQuestion = """([\w.\)\]]+)\s*@\?\s*'([^']+)'""".r
   private val atArrow = """([\w.\)\]]+)\s*@>\s*'(\{[^']*\})'""".r
 
@@ -154,7 +225,7 @@ object GraftSql {
     * literal must match in the column's JSON. Compiled to one
     * get_json_object conjunct per literal entry. */
   private def rewriteAtArrow(sql: String): String =
-    atArrow.replaceAllIn(sql, m => {
+    replaceOutsideLiterals(atArrow, sql) { m =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = mapper.readTree(m.group(2))
       val it = node.fields()
@@ -164,23 +235,126 @@ object GraftSql {
         val v = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
         conjuncts += s"get_json_object(${m.group(1)}, '$$.${e.getKey}') = '${v.replace("'", "''")}'"
       }
-      Matcher.quoteReplacement(
-        if (conjuncts.isEmpty) "TRUE" else conjuncts.mkString("(", " AND ", ")"))
-    })
+      if (conjuncts.isEmpty) "TRUE" else conjuncts.mkString("(", " AND ", ")")
+    }
 
   private def rewriteJsonOps(sql: String): String = {
     var s = sql
     if (s.contains("@>")) s = rewriteAtArrow(s)
     if (s.contains("@?"))
-      s = atQuestion.replaceAllIn(s, m => Matcher.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '${jsonPath(m.group(2))}') IS NOT NULL"))
-    if (s.contains("->")) {
-      s = arrowOp.replaceAllIn(s, m => Matcher.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '${jsonPath(m.group(2))}')"))
-      s = arrowIdx.replaceAllIn(s, m => Matcher.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '$$[${m.group(2)}]')"))
-    }
+      s = replaceOutsideLiterals(atQuestion, s)(m =>
+        s"get_json_object(${m.group(1)}, '${jsonPath(m.group(2))}') IS NOT NULL")
+    if (s.contains("->")) s = rewriteArrowOps(s)
     s
+  }
+
+  /** Arrow accessors (`expr -> 'k'`, `expr ->> 'k'`, `expr -> 2`) rewritten
+    * by an explicit scanner rather than one regex, because three things share
+    * the `->` spelling:
+    *   - arrows inside string literals are content (skipped via the mask);
+    *   - Spark lambda arrows (`transform(arr, x -> 1)`) must be left alone —
+    *     an integer-RHS arrow whose bare-identifier LHS directly follows
+    *     `(` or `,` is treated as a lambda (an arrow whose RHS is neither a
+    *     quoted key nor an integer never matches at all, so `x -> x + 1`
+    *     is naturally safe);
+    *   - chained accessors (`props -> 'a' ->> 'b'`) need the rewritten
+    *     `get_json_object(...)` call as the next LHS, so the LHS parse
+    *     balances parens/brackets backwards and the whole rewrite runs to
+    *     fixpoint (each step consumes one arrow — guaranteed to terminate).
+    * Known limitation (documented): a lambda whose body is exactly a string
+    * literal or bare integer with a parenthesized parameter list, e.g.
+    * `(a, b) -> 1`, still reads as a JSON accessor. */
+  private def rewriteArrowOps(sql: String): String = {
+    var cur = sql
+    var step = arrowStep(cur)
+    var guard = 0
+    while (step.isDefined && guard < 64) {
+      cur = step.get
+      step = arrowStep(cur)
+      guard += 1
+    }
+    cur
+  }
+
+  /** Rewrite the first applicable arrow accessor, or None when none left. */
+  private def arrowStep(sql: String): Option[String] = {
+    val mask = literalMask(sql)
+    var i = 0
+    while (i < sql.length - 1) {
+      if (!mask(i) && sql.charAt(i) == '-' && sql.charAt(i + 1) == '>') {
+        val opEnd = if (i + 2 < sql.length && sql.charAt(i + 2) == '>') i + 3 else i + 2
+        var r = opEnd
+        while (r < sql.length && sql.charAt(r).isWhitespace) r += 1
+        val rhsQuoted = r < sql.length && sql.charAt(r) == '\''
+        val rhsDigit = r < sql.length && sql.charAt(r).isDigit
+        if (rhsQuoted || rhsDigit) {
+          // ---- RHS: quoted key (with '' unescaping) or integer subscript
+          var rEnd = r
+          var key: String = ""
+          var wellFormed = true
+          if (rhsQuoted) {
+            rEnd = r + 1
+            val kb = new StringBuilder
+            var closed = false
+            while (rEnd < sql.length && !closed) {
+              if (sql.charAt(rEnd) == '\'') {
+                if (rEnd + 1 < sql.length && sql.charAt(rEnd + 1) == '\'') { kb.append('\''); rEnd += 2 }
+                else { closed = true; rEnd += 1 }
+              } else { kb.append(sql.charAt(rEnd)); rEnd += 1 }
+            }
+            wellFormed = closed
+            key = kb.toString
+          } else {
+            while (rEnd < sql.length && sql.charAt(rEnd).isDigit) rEnd += 1
+            key = sql.substring(r, rEnd)
+          }
+          // ---- LHS: dotted identifier, or a balanced (...)/[...] group with
+          // its preceding function name (for chained get_json_object calls)
+          var l = i - 1
+          while (l >= 0 && sql.charAt(l).isWhitespace) l -= 1
+          val lhsEnd = l + 1
+          var lhsStart = -1
+          if (l >= 0 && (sql.charAt(l) == ')' || sql.charAt(l) == ']')) {
+            var depth = 0
+            var k = l
+            var open = -1
+            while (k >= 0 && open < 0) {
+              val ch = sql.charAt(k)
+              if (!mask(k) && (ch == ')' || ch == ']')) depth += 1
+              else if (!mask(k) && (ch == '(' || ch == '[')) { depth -= 1; if (depth == 0) open = k }
+              k -= 1
+            }
+            if (open >= 0) {
+              var w = open - 1
+              while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' || sql.charAt(w) == '.')) w -= 1
+              lhsStart = w + 1
+            }
+          } else {
+            var w = l
+            while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' ||
+              sql.charAt(w) == '.' || sql.charAt(w) == '$')) w -= 1
+            if (w + 1 <= l) lhsStart = w + 1
+          }
+          if (wellFormed && lhsStart >= 0 && lhsStart < lhsEnd) {
+            val lhs = sql.substring(lhsStart, lhsEnd)
+            var p = lhsStart - 1
+            while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+            val afterParenOrComma = p >= 0 && (sql.charAt(p) == '(' || sql.charAt(p) == ',')
+            val bareIdent = lhs.nonEmpty && lhs.forall(c => c.isLetterOrDigit || c == '_')
+            val isLambda = rhsDigit && bareIdent && afterParenOrComma
+            if (!isLambda) {
+              val path =
+                if (rhsQuoted) jsonPath(key).replace("'", "''")
+                else s"$$[$key]"
+              return Some(sql.substring(0, lhsStart) +
+                s"get_json_object($lhs, '$path')" + sql.substring(rEnd))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    None
   }
 
   private def jsonPath(key: String): String =
@@ -199,15 +373,15 @@ object GraftSql {
   private def rewriteQuantified(sql: String): String = {
     var s = sql
     if (s.toUpperCase.contains("ANY") || s.toUpperCase.contains("ALL")) {
-      s = anyLike.replaceAllIn(s, m => {
+      s = replaceOutsideLiterals(anyLike, s) { m =>
         val like = if (m.group(2).equalsIgnoreCase("ILIKE"))
           s"ilike(__x, ${m.group(1)})" else s"__x LIKE ${m.group(1)}"
-        Matcher.quoteReplacement(s"exists(${m.group(3)}, __x -> $like)")
-      })
-      s = anyOp.replaceAllIn(s, m => Matcher.quoteReplacement(
-        s"exists(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)"))
-      s = allOp.replaceAllIn(s, m => Matcher.quoteReplacement(
-        s"forall(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)"))
+        s"exists(${m.group(3)}, __x -> $like)"
+      }
+      s = replaceOutsideLiterals(anyOp, s)(m =>
+        s"exists(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)")
+      s = replaceOutsideLiterals(allOp, s)(m =>
+        s"forall(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)")
     }
     s
   }
@@ -233,6 +407,8 @@ object GraftSql {
 
   private val fakeFn = """(?i)\bFAKE\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
+  private val seriesFn = """(?i)\bGENERATE_SERIES\s*\(""".r
+
   /** Table functions (reference: opteryx/operators/function_dataset_node.py:583-651):
     * FAKE(rows, cols) → range + rand() projection; GENERATE_SERIES / UNNEST →
     * Spark's native sequence()/explode() table-valued functions. */
@@ -244,14 +420,43 @@ object GraftSql {
         Matcher.quoteReplacement(s"(SELECT $cols FROM range(0, ${m.group(1)}))")
       })
     }
+    s = rewriteSeries(s)
     s = mapOutsideLiterals(s) { text =>
-      text
-        .replaceAll("""(?i)\bGENERATE_SERIES\s*\(""", "explode(sequence(")
-        .replaceAll("""(?i)\bUNNEST\s*\(""", "explode(")
+      text.replaceAll("""(?i)\bUNNEST\s*\(""", "explode(")
     }
-    // close the extra paren opened by the sequence( splice
-    if (s != sql && s.contains("explode(sequence(")) {
-      s = s.replaceAll("""(?i)explode\(sequence\(([^)]*)\)""", "explode(sequence($1))")
+    s
+  }
+
+  /** `GENERATE_SERIES(args)` → `explode(sequence(args))`. The extra close
+    * paren is placed by a balanced-paren scan from the spliced `sequence(`,
+    * so nested calls — GENERATE_SERIES(1, cardinality(arr)) — and multiple
+    * occurrences in one statement rewrite correctly (each step consumes one
+    * GENERATE_SERIES token; loop to fixpoint). */
+  private def rewriteSeries(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val mask = literalMask(s)
+      seriesFn.findAllMatchIn(s).find(m => !mask(m.start)).foreach { m =>
+        val open = m.end - 1
+        var depth = 0
+        var k = open
+        var close = -1
+        while (k < s.length && close < 0) {
+          val ch = s.charAt(k)
+          if (!mask(k) && ch == '(') depth += 1
+          else if (!mask(k) && ch == ')') { depth -= 1; if (depth == 0) close = k }
+          k += 1
+        }
+        if (close >= 0) {
+          s = s.substring(0, m.start) + "explode(sequence(" +
+            s.substring(open + 1, close) + "))" + s.substring(close + 1)
+          changed = true
+        }
+      }
     }
     s
   }

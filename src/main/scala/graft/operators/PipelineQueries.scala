@@ -108,7 +108,7 @@ object PipelineQueries {
         FROM th, range(0, 32) b(bit)
         GROUP BY doc_id, b.bit)
       SELECT doc_id,
-             sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+             CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
       Tables.df(s, dir, "documents")
         .select(col("doc_id"), Functions.simhash32(toks(col("text"))).as("simhash"))
@@ -218,7 +218,7 @@ object PipelineQueries {
         FROM embeddings e, w
         GROUP BY e.vec_id, w.h)
       SELECT vec_id,
-             sum(CASE WHEN dot > 0 THEN (1::BIGINT << h) ELSE 0 END) AS bucket
+             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << h) ELSE 0 END) AS BIGINT) AS bucket
       FROM proj GROUP BY vec_id ORDER BY vec_id""")) { (s, dir) =>
       // Row-local signature via higher-order functions: no explode, no
       // shuffle — each row folds its own 64 dims against 16 hash-derived
@@ -378,13 +378,13 @@ object PipelineQueries {
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              event_type,
              count(*) AS n,
-             sum(CAST(value AS DECIMAL(38,6))) AS total
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")) { (s, dir) =>
       Tables.df(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(38,6)")).as("total"))
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
         .orderBy(col("window_start"), col("event_type"))
     },
 

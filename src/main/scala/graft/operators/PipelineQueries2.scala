@@ -112,18 +112,22 @@ object PipelineQueries2 {
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
       val docs = Tables.df(s, dir, "documents")
-      val nDocs = docs.count()
-      val cap = math.max(2L, (nDocs * 0.02).toLong)
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           split(lower(col("text")), "\\s+"), 3))).as("shingle"))
-      // document frequency via a whole-partition window on the shingle key:
-      // one shuffle (same key the pair join needs) instead of aggregate +
-      // join-back — the count rides along with the rows
-      val rare = sh.withColumn("n_docs",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("shingle"))))
-        .filter(col("n_docs") <= cap).drop("n_docs")
+      // Document frequency via groupBy + join-back, NOT a window over the
+      // shingle key: partial (map-side) aggregation collapses a hot shingle's
+      // occurrences before the shuffle, whereas count(*) OVER (PARTITION BY
+      // shingle) would route every occurrence of a stop-phrase to one task —
+      // exactly the skew this query exists to dodge. The join back to `sh` is
+      // AQE-skew-splittable. The corpus cardinality arrives as a broadcast
+      // 1-row aggregate instead of a separate driver-side count() scan.
+      val nDocs = docs.agg(count(lit(1)).as("corpus_n"))
+      val rareShingles = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("n_docs") <= greatest(lit(2L), (col("corpus_n") * 0.02).cast("bigint")))
+        .select(col("shingle"))
+      val rare = sh.join(rareShingles, "shingle").select(col("doc_id"), col("shingle"))
       val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = rare.alias("a")
       val b = rare.alias("b")
@@ -145,8 +149,8 @@ object PipelineQueries2 {
     // hash aggregations — the minimal-shuffle shape of a 100-TB cleaning job.
     QueryDef("p16_pipeline_e2e", Some("""
       SELECT count(*) AS n_kept,
-             sum(dup_cnt - 1) AS n_dups_removed,
-             sum(toks) AS total_tokens,
+             CAST(sum(dup_cnt - 1) AS BIGINT) AS n_dups_removed,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
              round(avg(toks), 4) AS avg_tokens
       FROM (
         SELECT md5(lower(text)) AS h, count(*) AS dup_cnt,

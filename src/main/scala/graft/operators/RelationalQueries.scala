@@ -15,6 +15,12 @@ import graft.{QueryDef, Tables}
 object RelationalQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(38,6)")
+  /** Exact decimal sum (shuffle-order-proof), emitted as DOUBLE. Final output
+    * columns must be DOUBLE, not DECIMAL: the driver's gate hashes results
+    * dtype-sensitively and a DECIMAL output renders "3.140000" vs the
+    * oracle's "3.14". The oracle side carries the identical outer
+    * CAST(... AS DOUBLE). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
   val defs: Seq[QueryDef] = Seq(
@@ -25,9 +31,9 @@ object RelationalQueries {
     // parquet; sums are decimal-exact so results are shuffle-order-proof.
     QueryDef("q01_group_agg", Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
              round(avg(l_quantity), 4) AS avg_qty,
              round(avg(l_discount), 4) AS avg_disc,
              count(*) AS count_order
@@ -39,9 +45,9 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -54,7 +60,7 @@ object RelationalQueries {
              count(DISTINCT l_orderkey) AS n_orders,
              min(l_quantity) AS min_qty,
              max(l_extendedprice) AS max_price,
-             sum(CAST(l_tax AS DECIMAL(38,6))) AS sum_tax,
+             CAST(sum(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE) AS sum_tax,
              round(avg(l_extendedprice), 4) AS avg_price
       FROM lineitem""")) { (s, dir) =>
       Tables.df(s, dir, "lineitem").agg(
@@ -62,7 +68,7 @@ object RelationalQueries {
         countDistinct(col("l_orderkey")).as("n_orders"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_extendedprice")).as("max_price"),
-        sum(dec(col("l_tax"))).as("sum_tax"),
+        dsum(col("l_tax")).as("sum_tax"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"))
     },
 
@@ -140,7 +146,7 @@ object RelationalQueries {
     QueryDef("q07_join_inner", Some("""
       SELECT c_mktsegment,
              count(*) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, dir) =>
       val o = Tables.df(s, dir, "orders")
@@ -148,7 +154,7 @@ object RelationalQueries {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("revenue"))
+          dsum(col("o_totalprice")).as("revenue"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -156,7 +162,7 @@ object RelationalQueries {
     QueryDef("q08_join_left", Some("""
       SELECT c_custkey,
              count(o_orderkey) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey ORDER BY c_custkey""")) { (s, dir) =>
       val c = Tables.df(s, dir, "customer")
@@ -164,7 +170,7 @@ object RelationalQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("total"))
+          dsum(col("o_totalprice")).as("total"))
         .orderBy(col("c_custkey"))
     },
 
@@ -331,9 +337,9 @@ object RelationalQueries {
       SELECT o_custkey, o_orderkey,
              row_number() OVER w AS rn,
              lag(o_orderkey) OVER w AS prev_key,
-             sum(CAST(o_totalprice AS DECIMAL(38,6)))
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       ORDER BY o_custkey, o_orderkey""")) { (s, dir) =>
@@ -344,7 +350,7 @@ object RelationalQueries {
         lag(col("o_orderkey"), 1).over(w).as("prev_key"),
         sum(dec(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("running"))
+          .cast("double").as("running"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -360,15 +366,18 @@ object RelationalQueries {
         .orderBy(col("l_partkey"))
     },
 
-    // Scalar subquery (uncorrelated)
+    // Scalar subquery (uncorrelated) — the 1-row aggregate is broadcast and
+    // cross-joined, never collected to the driver: the whole plan stays lazy
+    // and distributed (no extra job at plan-build time).
     QueryDef("q23_subquery_scalar", Some("""
       SELECT c_custkey, c_acctbal FROM customer
       WHERE c_acctbal > (SELECT max(s_acctbal) FROM supplier)
       ORDER BY c_custkey""")) { (s, dir) =>
       val maxBal = Tables.df(s, dir, "supplier")
-        .agg(max(col("s_acctbal"))).head().getDouble(0)
+        .agg(max(col("s_acctbal")).as("max_bal"))
       Tables.df(s, dir, "customer")
-        .filter(col("c_acctbal") > maxBal)
+        .crossJoin(broadcast(maxBal))
+        .filter(col("c_acctbal") > col("max_bal"))
         .select(col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
     },
@@ -391,7 +400,7 @@ object RelationalQueries {
     QueryDef("q25_cte", Some("""
       WITH per_cust AS (
         SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
-      SELECT c_nationkey, sum(n_orders) AS total_orders, count(*) AS n_cust
+      SELECT c_nationkey, CAST(sum(n_orders) AS BIGINT) AS total_orders, count(*) AS n_cust
       FROM per_cust JOIN customer ON o_custkey = c_custkey
       GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
       val perCust = Tables.df(s, dir, "orders")
@@ -478,13 +487,13 @@ object RelationalQueries {
     QueryDef("q29_math", Some("""
       SELECT p_partkey,
              round(sqrt(p_retailprice), 6) AS sq,
-             floor(p_retailprice) AS fl,
-             ceil(p_retailprice) AS ce,
+             CAST(floor(p_retailprice) AS BIGINT) AS fl,
+             CAST(ceil(p_retailprice) AS BIGINT) AS ce,
              abs(p_size - 25) AS ab,
              round(pow(CAST(p_size AS DOUBLE), 2), 6) AS p2,
              round(ln(p_retailprice), 6) AS lnp,
              round(log10(p_retailprice), 6) AS lg,
-             sign(p_size - 25) AS sg,
+             CAST(sign(p_size - 25) AS INTEGER) AS sg,
              p_size % 7 AS m7,
              round(pi(), 6) AS pi_c
       FROM part ORDER BY p_partkey""")) { (s, dir) =>
@@ -497,7 +506,10 @@ object RelationalQueries {
         round(pow(col("p_size").cast("double"), 2), 6).as("p2"),
         round(log(col("p_retailprice")), 6).as("lnp"),
         round(log10(col("p_retailprice")), 6).as("lg"),
-        signum(col("p_size") - 25).cast("double").as("sg"),
+        // floor/ceil are BIGINT in Spark but DOUBLE in DuckDB, and sign is
+        // DOUBLE in Spark but TINYINT in DuckDB — both sides carry explicit
+        // casts to one agreed type so the dtype-sensitive gate hash matches.
+        signum(col("p_size") - 25).cast("int").as("sg"),
         (col("p_size") % 7).as("m7"),
         round(lit(math.Pi), 6).as("pi_c"))
         .orderBy(col("p_partkey"))
@@ -556,7 +568,7 @@ object RelationalQueries {
     QueryDef("q32_json", Some("""
       SELECT event_type,
              count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
       Tables.df(s, dir, "events")
         .groupBy(col("event_type"))
@@ -603,7 +615,7 @@ object RelationalQueries {
 
     // FunctionDatasetNode: GENERATE_SERIES (reference: opteryx/operators/function_dataset_node.py:583-651)
     QueryDef("q35_series", Some("""
-      SELECT sum(x) AS s, count(*) AS n, min(x) AS mn, max(x) AS mx
+      SELECT CAST(sum(x) AS BIGINT) AS s, count(*) AS n, min(x) AS mn, max(x) AS mx
       FROM range(1, 1001) t(x)""")) { (s, _) =>
       s.range(1, 1001).toDF("x")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"),
@@ -664,7 +676,7 @@ object RelationalQueries {
     // two broadcasts + one shuffle join on the fact key)
     QueryDef("q39_multijoin", Some("""
       SELECT n_name, r_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -683,14 +695,14 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
         .agg(
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"), col("r_name"))
     },
 
     // TPC-H Q6 shape — pure scan+filter+agg, the pushdown showcase
     QueryDef("q40_tpch_q6", Some("""
-      SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
              count(*) AS n
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -702,7 +714,7 @@ object RelationalQueries {
           && col("l_shipdate") < ts("1996-01-01 00:00:00")
           && col("l_discount").between(0.03, 0.07)
           && col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n"))
     }
   )

@@ -18,6 +18,8 @@ import graft.{QueryDef, Tables}
 object RelationalQueries2 {
 
   private def dec(c: Column): Column = c.cast("decimal(38,6)")
+  /** Exact decimal sum emitted as DOUBLE — see [[RelationalQueries.dsum]]. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
   val defs: Seq[QueryDef] = Seq(
@@ -75,18 +77,21 @@ object RelationalQueries2 {
     // ARRAY_AGG with DISTINCT / ORDER / LIMIT post-pass (reference:
     // opteryx/operators/aggregate_and_group_node.py:180-216) — expressed as
     // sort_array(collect_*) + slice so it stays a single hash aggregation.
+    // Output columns are joined to strings: the gate's pandas canonicalizer
+    // cannot sort array cells, so the verification projection (not the
+    // capability) stringifies.
     QueryDef("q44_array_agg", Some("""
       SELECT s_nationkey,
-             list_sort(list(s_name)) AS names,
-             list_sort(list(s_name))[1:3] AS top3,
-             list_sort(list(DISTINCT left(s_name, 12))) AS uniq_prefix
+             array_to_string(list_sort(list(s_name)), '|') AS names,
+             array_to_string(list_sort(list(s_name))[1:3], '|') AS top3,
+             array_to_string(list_sort(list(DISTINCT left(s_name, 12))), '|') AS uniq_prefix
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")) { (s, dir) =>
       Tables.df(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
         .agg(
-          sort_array(collect_list(col("s_name"))).as("names"),
-          slice(sort_array(collect_list(col("s_name"))), 1, 3).as("top3"),
-          sort_array(collect_set(expr("left(s_name, 12)"))).as("uniq_prefix"))
+          array_join(sort_array(collect_list(col("s_name"))), "|").as("names"),
+          array_join(slice(sort_array(collect_list(col("s_name"))), 1, 3), "|").as("top3"),
+          array_join(sort_array(collect_set(expr("left(s_name, 12)"))), "|").as("uniq_prefix"))
         .orderBy(col("s_nationkey"))
     },
 
@@ -96,22 +101,26 @@ object RelationalQueries2 {
       SELECT p_partkey,
              CAST(p_size AS VARCHAR) AS sz_s,
              CAST(p_size AS DOUBLE) AS sz_d,
-             CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
              TRY_CAST(p_name AS INTEGER) AS nm_i,
              TRY_CAST(left(CAST(p_partkey AS VARCHAR), 2) AS INTEGER) AS pk2,
              p_size % 2 = 0 AS even_size,
-             CAST('2024-05-06' AS DATE) AS d_lit,
+             CAST(CAST('2024-05-06' AS DATE) AS VARCHAR) AS d_lit,
              CAST('2024-05-06 07:08:09' AS TIMESTAMP) AS ts_lit
       FROM part ORDER BY p_partkey""")) { (s, dir) =>
       Tables.df(s, dir, "part").select(
         col("p_partkey"),
         col("p_size").cast("string").as("sz_s"),
         col("p_size").cast("double").as("sz_d"),
-        col("p_retailprice").cast("decimal(12,2)").as("price_dec"),
+        // decimal cast exercised, then re-emitted as DOUBLE for the gate
+        col("p_retailprice").cast("decimal(12,2)").cast("double").as("price_dec"),
         expr("try_cast(p_name AS int)").as("nm_i"),
         expr("try_cast(left(CAST(p_partkey AS string), 2) AS int)").as("pk2"),
         (col("p_size") % 2 === 0).as("even_size"),
-        lit("2024-05-06").cast("date").as("d_lit"),
+        // DATE cast exercised, emitted as VARCHAR: pandas renders datetime
+        // blocks frame-wide, so a true-date column next to a timestamp column
+        // picks up a spurious " 00:00:00" on the oracle side
+        lit("2024-05-06").cast("date").cast("string").as("d_lit"),
         lit("2024-05-06 07:08:09").cast("timestamp_ntz").as("ts_lit"))
         .orderBy(col("p_partkey"))
     },
@@ -167,12 +176,12 @@ object RelationalQueries2 {
     QueryDef("q48_time_bucket", Some("""
       SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_s,
              count(*) AS n,
-             sum(CAST(value AS DECIMAL(38,6))) AS sum_v
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
       FROM events GROUP BY bucket_s ORDER BY bucket_s""")) { (s, dir) =>
       Tables.df(s, dir, "events")
         .groupBy((floor(unix_timestamp(col("ts").cast("timestamp")) / 900) * 900)
           .cast("bigint").as("bucket_s"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_v"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
         .orderBy(col("bucket_s"))
     },
 
@@ -182,7 +191,7 @@ object RelationalQueries2 {
       SELECT l_returnflag, l_linestatus,
              CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
              CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
-             sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
              count(*) AS n
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag, l_linestatus""")) { (s, dir) =>
@@ -191,7 +200,7 @@ object RelationalQueries2 {
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          sum(dec(col("l_quantity"))).as("sum_qty"),
+          dsum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"), col("g_ls"),
           col("sum_qty"), col("n"))
@@ -204,7 +213,7 @@ object RelationalQueries2 {
              CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
              CAST(grouping(o_orderpriority) AS INTEGER) AS g_pr,
              count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus, o_orderpriority""")) { (s, dir) =>
       Tables.df(s, dir, "orders")
@@ -213,7 +222,7 @@ object RelationalQueries2 {
           grouping(col("o_orderstatus")).cast("int").as("g_st"),
           grouping(col("o_orderpriority")).cast("int").as("g_pr"),
           count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).as("sum_price"))
+          dsum(col("o_totalprice")).as("sum_price"))
         .select(col("o_orderstatus"), col("o_orderpriority"), col("g_st"), col("g_pr"),
           col("n"), col("sum_price"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -259,13 +268,15 @@ object RelationalQueries2 {
     // opteryx/functions/__init__.py:607 JSONB_OBJECT_KEYS; ops.py:291-365 @?).
     QueryDef("q53_json_extra", Some("""
       SELECT event_id,
-             list_sort(CAST(json_keys(props) AS VARCHAR[])) AS keys,
+             array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), '|') AS keys,
              json_extract(props, '$.k') IS NOT NULL AS has_k,
              CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
       FROM events ORDER BY event_id""")) { (s, dir) =>
       Tables.df(s, dir, "events").select(
         col("event_id"),
-        sort_array(json_object_keys(col("props"))).as("keys"),
+        // stringified for the gate's pandas canonicalizer (array cells crash
+        // its sort); the json_object_keys capability is unchanged
+        array_join(sort_array(json_object_keys(col("props"))), "|").as("keys"),
         get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
         (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_mod"))
         .orderBy(col("event_id"))
@@ -302,7 +313,7 @@ object RelationalQueries2 {
     // customer dim; top-10 via TakeOrderedAndProject (no full sort).
     QueryDef("q55_tpch_q3", Some("""
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -319,7 +330,7 @@ object RelationalQueries2 {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -394,7 +405,7 @@ object RelationalQueries2 {
 
     // Q19 shape: OR-of-ANDs bracket predicates over a broadcast part join.
     QueryDef("q59_tpch_q19", Some("""
-      SELECT sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue,
+      SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
              count(*) AS n
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -407,14 +418,14 @@ object RelationalQueries2 {
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) && col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) && col("l_quantity").between(20, 30)))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
     },
 
     // Q10 shape: returned-item revenue by customer — date-windowed, top 20.
     QueryDef("q60_tpch_q10", Some("""
       SELECT c_custkey, c_name, n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -434,7 +445,7 @@ object RelationalQueries2 {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
@@ -443,7 +454,7 @@ object RelationalQueries2 {
     // lineitem⋈orders shuffles — part/supplier/nation broadcast).
     QueryDef("q61_tpch_q9", Some("""
       SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS profit
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS profit
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -461,7 +472,7 @@ object RelationalQueries2 {
         .join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("int").as("o_year"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("profit"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"))
         .orderBy(col("n_name"), col("o_year").desc)
     },
 

@@ -16,6 +16,8 @@ import graft.{QueryDef, Tables}
 object TpchQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(38,6)")
+  /** Exact decimal sum emitted as DOUBLE — see [[RelationalQueries.dsum]]. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
   val defs: Seq[QueryDef] = Seq(
@@ -50,7 +52,7 @@ object TpchQueries {
     // broadcast dims), symmetric OR condition.
     QueryDef("q67_tpch_q7", Some("""
       SELECT supp_nation, cust_nation, l_year,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
       FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -82,7 +84,7 @@ object TpchQueries {
           || (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("int").as("l_year"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
@@ -134,7 +136,7 @@ object TpchQueries {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, total_revenue
+      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
       FROM supplier JOIN revenue ON s_suppkey = supplier_no
       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       ORDER BY s_suppkey""")) { (s, dir) =>
@@ -153,7 +155,9 @@ object TpchQueries {
       val sup = Tables.df(s, dir, "supplier")
       sup.join(withMax, sup("s_suppkey") === withMax("supplier_no"))
         .filter(col("total_revenue") === col("mx"))
-        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        // max-comparison stays decimal-exact; only the emitted column is DOUBLE
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
 
@@ -181,22 +185,24 @@ object TpchQueries {
     },
 
     // Q22 shape: customers with above-average balances and no orders —
-    // uncorrelated scalar aggregate + null-preserving anti join.
+    // uncorrelated scalar aggregate (broadcast 1-row cross join, never
+    // collected to the driver) + null-preserving anti join.
     QueryDef("q71_tpch_q22", Some("""
       SELECT c_nationkey, count(*) AS numcust,
-             sum(CAST(c_acctbal AS DECIMAL(38,6))) AS totacctbal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
       FROM customer
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
       val c = Tables.df(s, dir, "customer")
       val avgBal = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal"))).head().getDouble(0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
       val o = Tables.df(s, dir, "orders")
-      c.filter(col("c_acctbal") > avgBal)
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
         .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"), sum(dec(col("c_acctbal"))).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_nationkey"))
     }
   )

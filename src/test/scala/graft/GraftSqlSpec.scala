@@ -18,6 +18,43 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(direct.head().getString(0) != null)
   }
 
+  test("lambda arrows and literal arrows survive the JSON rewrite") {
+    // Spark lambda with integer body — must NOT become get_json_object
+    val t = g.query("SELECT transform(array(1,2,3), x -> 1) AS a")
+    assert(t.head().getSeq[Int](0) == Seq(1, 1, 1))
+    // lambda with expression body never matches the accessor shape
+    val t2 = g.query("SELECT aggregate(array(1,2,3), 0, (acc, x) -> acc + x) AS s")
+    assert(t2.head().getInt(0) == 6)
+    // arrow inside a string literal is content
+    val lit = g.query("SELECT 'a -> 1' AS s")
+    assert(lit.head().getString(0) == "a -> 1")
+    // comment containing an apostrophe must not invert literal tracking
+    val c = g.query("-- don't trip the literal scanner\nSELECT 'it''s fine' AS s -- ok\n")
+    assert(c.head().getString(0) == "it's fine")
+  }
+
+  test("chained JSON arrows rewrite to nested get_json_object") {
+    // parses and runs (events props has no nested objects, so value is null —
+    // the point is that `props -> 'a' ->> 'b'` no longer fails to parse)
+    val r = g.query("SELECT props -> 'a' ->> 'b' AS v FROM events LIMIT 1")
+    assert(r.columns.toSeq == Seq("v"))
+    assert(r.count() == 1)
+    // arrow accessor as a function argument keeps working
+    val f = g.query(
+      "SELECT count(*) AS n FROM events WHERE CAST(props ->> 'k' AS BIGINT) >= 0")
+    assert(f.head().getLong(0) > 0)
+  }
+
+  test("GENERATE_SERIES with nested calls and multiple occurrences") {
+    val n = g.query(
+      "SELECT sum(col) AS s FROM (SELECT * FROM GENERATE_SERIES(1, cardinality(array(1,2,3))))")
+    assert(n.head().getLong(0) == 6)
+    val two = g.query(
+      """SELECT (SELECT sum(col) FROM (SELECT * FROM GENERATE_SERIES(1, 3))) +
+        |       (SELECT sum(col) FROM (SELECT * FROM GENERATE_SERIES(4, 5))) AS s""".stripMargin)
+    assert(two.head().getLong(0) == 15)
+  }
+
   test("DISTINCT ON rewrite picks first row per key") {
     val r = g.query(
       """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
