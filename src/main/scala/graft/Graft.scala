@@ -37,6 +37,30 @@ class Graft(val spark: SparkSession) {
   def registerDf(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(name)
 
+  /** Register a JDBC-backed table (the reference's SqlConnector,
+    * opteryx/connectors/sql_connector.py:64-240). Catalyst pushes
+    * projections, predicates, LIMIT, and (v2 paths) partial aggregates into
+    * the remote engine — the Spark-native equivalent of the reference's
+    * `pushed_sql` fragment pushdown (sql_connector.py:205-216). */
+  def registerJdbc(name: String, url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit =
+    graft.sources.Jdbc.table(spark, url, table, options).createOrReplaceTempView(name)
+
+  /** Register the result of a full SQL statement run remotely — the
+    * reference's whole-query pushdown surface. */
+  def registerJdbcQuery(name: String, url: String, sql: String,
+      options: Map[String, String] = Map.empty): Unit =
+    graft.sources.Jdbc.query(spark, url, sql, options).createOrReplaceTempView(name)
+
+  /** Register a Hive-partitioned dataset (e.g. `.../dt=2024-01-01/part-0.parquet`)
+    * with its partition column as the temporal axis: `FOR` clauses then
+    * become partition-pruned scans (the reference's partitioned Diachronic
+    * datasets — testdata/partitioned/dated). */
+  def registerPartitioned(name: String, path: String, dateColumn: String): Unit = {
+    spark.read.parquet(path).createOrReplaceTempView(name)
+    temporalColumns(name.toLowerCase) = dateColumn
+  }
+
   /** Run a statement in the graft dialect (ANSI Spark SQL + the reference's
     * extensions). Positional `?` parameters are bound injection-safe via
     * Spark's parameterized-SQL API. */
@@ -57,7 +81,16 @@ class Graft(val spark: SparkSession) {
 
   private val executeRe = """(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$""".r
 
-  def query(sql: String, args: Any*): DataFrame = {
+  def query(sql: String, args: Any*): DataFrame = queryImpl(sql, args, Map.empty)
+
+  /** Named `:name` parameter binding (reference:
+    * opteryx/planner/ast_rewriter.py:39-50,95-170 — parameters substituted
+    * post-parse, never string-spliced) via Spark's map-form parameterized
+    * SQL, which binds the same injection-safe way. */
+  def query(sql: String, params: Map[String, Any]): DataFrame =
+    queryImpl(sql, Nil, params)
+
+  private def queryImpl(sql: String, args: Seq[Any], named: Map[String, Any]): DataFrame = {
     // EXECUTE <prepared> (p1, p2, ...) — positional binds, injection-safe
     sql match {
       case executeRe(name, params) if prepared.contains(name) =>
@@ -68,17 +101,19 @@ class Graft(val spark: SparkSession) {
             case d if d.matches("""-?\d*\.\d+""") => d.toDouble
             case other => other
           })
-        return query(prepared(name), bound: _*)
+        return queryImpl(prepared(name), bound, named)
       case _ => ()
     }
     // meta-statement surface (SHOW COLUMNS / SET @var / SHOW var / EXPLAIN)
     sql match {
       case Meta.ShowColumnsRe(ext, table) =>
         return Meta.showColumns(spark, table, ext != null)
+      case Meta.ShowCreateViewRe(name) =>
+        return Meta.showCreateView(spark, views, name)
       case Meta.SetVarRe(name, value) =>
         return Meta.setVariable(spark, name, GraftSql.rewrite(value).sql)
       case Meta.ExplainRe(analyze, inner) =>
-        return Meta.explain(spark, query(inner, args: _*), analyze != null)
+        return Meta.explain(spark, queryImpl(inner, args, named), analyze != null)
       case Meta.ShowVarRe(name)
           if !Set("tables", "databases", "views", "functions", "columns")
             .contains(name.toLowerCase) =>
@@ -103,13 +138,28 @@ class Graft(val spark: SparkSession) {
       val base = spark.table(t.relation)
       val filtered = temporalColumns.get(t.relation.toLowerCase) match {
         case Some(c) =>
-          base.filter(col(c) >= expr(s"cast(${t.start} as timestamp_ntz)")
-            && col(c) < expr(s"cast(${t.end} as timestamp_ntz) + interval 1 day"))
+          // compare in the column's own type so a DATE/STRING partition
+          // column keeps its literal comparison — that is what lets Catalyst
+          // prune Hive partitions instead of scanning everything and
+          // filtering rows
+          import org.apache.spark.sql.types.{DateType, StringType}
+          base.schema(c).dataType match {
+            case DateType =>
+              base.filter(col(c) >= expr(s"cast(${t.start} as date)")
+                && col(c) <= expr(s"cast(${t.end} as date)"))
+            case StringType =>
+              base.filter(col(c) >= expr(s"cast(cast(${t.start} as date) as string)")
+                && col(c) <= expr(s"cast(cast(${t.end} as date) as string)"))
+            case _ =>
+              base.filter(col(c) >= expr(s"cast(${t.start} as timestamp_ntz)")
+                && col(c) < expr(s"cast(${t.end} as timestamp_ntz) + interval 1 day"))
+          }
         case None => base // non-temporal relation: FOR reads current state
       }
       filtered.createOrReplaceTempView(t.viewName)
     }
-    if (args.nonEmpty) spark.sql(rw.sql, args.toArray)
+    if (named.nonEmpty) spark.sql(rw.sql, named)
+    else if (args.nonEmpty) spark.sql(rw.sql, args.toArray)
     else spark.sql(rw.sql)
   }
 

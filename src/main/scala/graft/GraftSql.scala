@@ -198,7 +198,7 @@ object GraftSql {
   // -- zero-config path tables --------------------------------------------
 
   private val pathTable =
-    """(?is)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|tsv|psv|json|jsonl|orc|avro|(?:csv|tsv|psv|json|jsonl)\.gz|(?:json|jsonl)\.zst))'""".r
+    """(?is)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|tsv|psv|json|jsonl|orc|avro|feather|arrow|ipc|(?:csv|tsv|psv|json|jsonl)\.gz|(?:json|jsonl)\.zst))'""".r
 
   /** Turn `FROM 'x/y.parquet'` into `FROM <generated view>`; caller registers
     * each returned path as a temp view named by [[viewNameFor]]. */

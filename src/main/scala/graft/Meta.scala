@@ -13,6 +13,8 @@ object Meta {
 
   val ShowColumnsRe =
     """(?is)^\s*SHOW\s+(EXTENDED\s+)?COLUMNS\s+(?:FROM|IN)\s+([\w.$]+)\s*;?\s*$""".r
+  val ShowCreateViewRe =
+    """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([\w.$]+)\s*;?\s*$""".r
   val SetVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.+?)\s*;?\s*$""".r
   val ShowVarRe = """(?is)^\s*SHOW\s+@?([\w.]+)\s*;?\s*$""".r
   val ExplainRe = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$""".r
@@ -47,6 +49,19 @@ object Meta {
       }.toSeq.toDF("name", "type", "nullable", "count", "nulls",
         "approx_distinct", "min", "max")
     }
+  }
+
+  /** `SHOW CREATE VIEW v` (reference: opteryx/operators/show_create_node.py)
+    * — the stored defining SQL for a graft-defined view, falling back to
+    * Spark's own SHOW CREATE TABLE for catalog views. */
+  def showCreateView(spark: SparkSession, views: graft.sources.Views,
+      name: String): DataFrame = {
+    import spark.implicits._
+    if (views.isDefined(name))
+      Seq((name, s"CREATE VIEW $name AS ${views.sqlFor(name)}")).toDF("view", "create_statement")
+    else spark.sql(s"SHOW CREATE TABLE $name")
+      .withColumnRenamed("createtab_stmt", "create_statement")
+      .select(org.apache.spark.sql.functions.lit(name).as("view"), col("create_statement"))
   }
 
   /** `SET @var = <expr>` → Spark 4 session variable; references are rewritten

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * `AvroKeyInputFormat` (still distributed: one task per file split).
   * `.jsonl.zst` is decompressed in-JVM with zstd-jni per file — whole-file
   * tasks, same non-splittable granularity as the reference's zstd decoder.
-  * xlsx/vortex/feather: no public reader available here — unsupported,
-  * as documented in SURVEY.md §2.5.
+  * feather (v2) / arrow / ipc ride the bundled arrow-vector ArrowFileReader
+  * — one task per file (IPC record batches aren't split further; fine for
+  * the interchange-file role these formats play). xlsx/vortex: no reader
+  * jar in this environment — unsupported, as documented in SURVEY.md §2.5.
   */
 object Formats {
 
@@ -40,6 +42,8 @@ object Formats {
       || lower.endsWith(".json.gz") || lower.endsWith(".jsonl.gz"))
       spark.read.json(path)
     else if (lower.endsWith(".avro")) readAvro(spark, path)
+    else if (lower.endsWith(".feather") || lower.endsWith(".arrow")
+      || lower.endsWith(".ipc")) readArrowIpc(spark, path)
     else sys.error(s"unsupported format for $path (see SURVEY.md §2.5)")
   }
 
@@ -138,6 +142,88 @@ object Formats {
   private implicit class JListOps[A](l: java.util.List[A]) {
     def asScala: scala.collection.mutable.Buffer[A] =
       scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+  }
+
+  // ---------------------------------------------------------- feather / ipc
+
+  /** Arrow IPC file format — which is exactly feather v2 (reference decoder:
+    * opteryx/utils/file_decoders.py:876-894 arrow/feather/ipc entries).
+    * Schema comes from the first file's footer on the driver; each file then
+    * decodes inside its own task via the bundled arrow-vector reader. Flat
+    * primitive columns (int/float/bool/utf8/binary/date/timestamp/decimal) —
+    * the shapes the reference's decoder handles for interchange files. */
+  def readArrowIpc(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val structType = {
+      val p = new HPath(path)
+      val first =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_")).head
+        else p
+      val in = fs.open(first)
+      val bytes =
+        try {
+          val len = fs.getFileStatus(first).getLen.toInt
+          val b = new Array[Byte](len); in.readFully(0, b); b
+        } finally in.close()
+      withIpcReader(bytes)(r => arrowToSpark(r.getVectorSchemaRoot.getSchema))
+    }
+    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (_, stream) =>
+      val bytes = stream.toArray()
+      withIpcReader(bytes) { reader =>
+        val root = reader.getVectorSchemaRoot
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (reader.loadNextBatch()) {
+          val vectors = (0 until root.getSchema.getFields.size).map(root.getVector)
+          var i = 0
+          while (i < root.getRowCount) {
+            out += Row.fromSeq(vectors.map(v => arrowValue(v.getObject(i))))
+            i += 1
+          }
+        }
+        out.toList
+      }
+    }
+    spark.createDataFrame(rows, structType)
+  }
+
+  private def withIpcReader[A](bytes: Array[Byte])(
+      f: org.apache.arrow.vector.ipc.ArrowFileReader => A): A = {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val chan = new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes)
+    val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(chan, alloc)
+    try f(reader)
+    finally { reader.close(); alloc.close() }
+  }
+
+  private def arrowToSpark(schema: org.apache.arrow.vector.types.pojo.Schema): StructType = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    def fieldType(t: ArrowType): DataType = t match {
+      case i: ArrowType.Int if i.getBitWidth <= 32 => IntegerType
+      case _: ArrowType.Int => LongType
+      case f: ArrowType.FloatingPoint
+          if f.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE => FloatType
+      case _: ArrowType.FloatingPoint => DoubleType
+      case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+      case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+      case _: ArrowType.Bool => BooleanType
+      case _: ArrowType.Date => DateType
+      case _: ArrowType.Timestamp => TimestampNTZType
+      case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case other => sys.error(s"unsupported arrow type $other (flat primitives only)")
+    }
+    StructType(schema.getFields.asScala.map(f =>
+      StructField(f.getName, fieldType(f.getType), f.isNullable)).toSeq)
+  }
+
+  private def arrowValue(v: Any): Any = v match {
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case d: java.time.LocalDateTime => d // TimestampNTZ external type
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+    case other => other
   }
 
   // ------------------------------------------------------- schema-on-read

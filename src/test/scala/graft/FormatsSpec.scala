@@ -88,6 +88,46 @@ class FormatsSpec extends AnyFunSuite {
     assert(canon(df) == expected)
   }
 
+  test("feather / arrow-ipc round-trip (arrow-vector reader)") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    val fields = List(
+      new Field("n_nationkey", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("n_name", FieldType.nullable(new ArrowType.Utf8()), null),
+      new Field("n_regionkey", FieldType.nullable(new ArrowType.Int(64, true)), null))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    val rows = nation.selectExpr("cast(n_nationkey as long)", "n_name",
+      "cast(n_regionkey as long)").collect()
+    val k = root.getVector(0).asInstanceOf[BigIntVector]
+    val nm = root.getVector(1).asInstanceOf[VarCharVector]
+    val rk = root.getVector(2).asInstanceOf[BigIntVector]
+    root.allocateNew()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      k.setSafe(i, r.getLong(0))
+      nm.setSafe(i, r.getString(1).getBytes("UTF-8"))
+      rk.setSafe(i, r.getLong(2))
+    }
+    root.setRowCount(rows.length)
+    val out = s"$tmp/nation.feather"
+    val ch = new java.io.FileOutputStream(out).getChannel
+    val w = new ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+    root.close(); alloc.close()
+
+    val df = Formats.read(spark, out)
+    assert(df.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(canon(df) == expected)
+    // .arrow / .ipc extensions route to the same decoder
+    java.nio.file.Files.copy(java.nio.file.Paths.get(out),
+      java.nio.file.Paths.get(s"$tmp/nation.ipc"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(canon(Formats.read(spark, s"$tmp/nation.ipc")) == expected)
+  }
+
   test("normalize: missing columns null-filled, extras dropped, types cast") {
     val target = StructType(Seq(
       StructField("n_nationkey", LongType), StructField("n_name", StringType),

@@ -33,6 +33,13 @@ class MetaSpec extends AnyFunSuite {
     assert(g.query("SHOW threshold").head().getString(1) == "3")
   }
 
+  test("SHOW CREATE VIEW returns the defining SQL") {
+    g.defineView("top_nations", "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0")
+    val r = g.query("SHOW CREATE VIEW top_nations").head()
+    assert(r.getString(0) == "top_nations")
+    assert(r.getString(1).contains("CREATE VIEW top_nations AS SELECT n_nationkey"))
+  }
+
   test("SHOW of a spark conf key") {
     val v = g.query("SHOW spark.sql.shuffle.partitions").head().getString(1)
     assert(v.toInt > 0)

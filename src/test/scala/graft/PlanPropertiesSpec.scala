@@ -86,6 +86,30 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"signature stage must not shuffle, got $exchanges")
   }
 
+  test("p17 (capped jaccard): DF via aggregate, no window over the shingle key") {
+    val df = run("p17_dedup_jaccard_capped")
+    val nodes = collectAll(planOf(df))
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "document frequency must be aggregate+join-back, not a window over the shingle key")
+    // one corpus scan for shingling + one 1-row count aggregate; the old
+    // driver-side docs.count() third pass is gone
+    val docScans = nodes.collect { case f: FileSourceScanExec => f }
+      .count(_.requiredSchema.fieldNames.contains("text"))
+    assert(docScans <= 2, s"expected <=2 documents scans (shingles + corpus count), got $docScans")
+  }
+
+  test("scalar subqueries broadcast — no driver-side collect (q23, q71)") {
+    for (q <- Seq("q23_subquery_scalar", "q71_tpch_q22")) {
+      // assert on the plan string: at tiny SF, AQE may collapse the final
+      // plan to EmptyRelation, but the initial plan shows the broadcast
+      val plan = planOf(run(q)).toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"$q: expected the 1-row aggregate to arrive via broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: 1-row side must broadcast, not cartesian-shuffle")
+    }
+  }
+
   test("whole-stage codegen covers the hot relational paths") {
     val nodes = collectAll(planOf(run("q04_filter_complex")))
     assert(nodes.exists(_.nodeName.contains("WholeStageCodegen")),
