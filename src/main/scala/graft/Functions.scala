@@ -157,10 +157,34 @@ object Functions {
         else java.lang.Boolean.valueOf(q.subsetOf(MatchAgainst.tokens(text, stops)))
       }
     })
+    // DATE_BIN(stride, ts, origin) / TIME_BUCKET(stride, ts): bucket a
+    // timestamp into fixed-width bins anchored at origin/epoch (reference:
+    // opteryx/functions/date_functions.py TIME_BUCKET). Row-local
+    // arithmetic — no shuffle. Day-time interval strides only (month
+    // strides would need calendar walking).
+    val dateBin = (d: java.time.Duration, ts: java.sql.Timestamp, origin: java.sql.Timestamp) =>
+      if (d == null || ts == null || origin == null) null.asInstanceOf[java.sql.Timestamp]
+      else {
+        val step = d.toMillis
+        val bins = Math.floorDiv(ts.getTime - origin.getTime, step)
+        new java.sql.Timestamp(origin.getTime + bins * step)
+      }
+    spark.udf.register("date_bin", dateBin)
     // Expression-composed registrations stay codegen-friendly:
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, InitCap, IsNotNull, Literal, Rand, Randn, XxHash64}
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseGet, BitwiseXor, Cast, Expression, If, InitCap, IsNotNull, Literal, Rand, Randn, XxHash64}
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("time_bucket")))
+      spark.udf.register("time_bucket", (d: java.time.Duration, ts: java.sql.Timestamp) =>
+        dateBin(d, ts, new java.sql.Timestamp(0L)))
+    // Bitwise spellings the reference exposes as functions
+    // (reference: opteryx/managers/expression/ops.py bitwise table)
+    reg.createOrReplaceTempFunction("xor",
+      (es: Seq[Expression]) => BitwiseXor(es(0), es(1)), "internal")
+    if (!reg.functionExists(FunctionIdentifier("bit_get")))
+      reg.createOrReplaceTempFunction("bit_get",
+        (es: Seq[Expression]) => BitwiseGet(es(0), es(1)), "internal")
     reg.createOrReplaceTempFunction("title",
       (es: Seq[Expression]) => InitCap(es.head), "internal")
     reg.createOrReplaceTempFunction("cityhash",

@@ -35,6 +35,7 @@ object GraftSql {
 
   def rewrite(sql: String): Rewritten = {
     var s = stripComments(sql)
+    s = rewriteNumericLiterals(s)
     val (afterTemporal, ranges) = extractTemporal(s)
     s = afterTemporal
     val (afterPaths, paths) = extractPathTables(s)
@@ -71,7 +72,9 @@ object GraftSql {
         while (i < sql.length && sql.charAt(i) != '\n') i += 1
         out.append(' ')
         i -= 1 // leave the newline (if any) to the normal path
-      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*'
+        && !(i + 2 < sql.length && sql.charAt(i + 2) == '+')) {
+        // /*+ ... */ is an optimizer hint, not a comment — keep it
         val end = sql.indexOf("*/", i + 2)
         out.append(' ')
         i = if (end < 0) sql.length - 1 else end + 1
@@ -139,6 +142,26 @@ object GraftSql {
     out.append(f(seg.toString))
     out.toString
   }
+
+  /** DuckDB-style numeric literal spellings the reference's parser accepts
+    * but Spark's lexer rejects: `0x1F` hex integers and `1_000_000`
+    * underscore group separators. Rewritten to plain decimal outside string
+    * literals (identifiers can't start with a digit, so `\b` + leading digit
+    * can't touch column names). */
+  private val hexLit = """\b0[xX]([0-9a-fA-F]+)\b""".r
+  private val underscoreLit = """\b(\d[\d_]*\d)\b""".r
+
+  private def rewriteNumericLiterals(sql: String): String =
+    mapOutsideLiterals(sql) { text =>
+      val hexed =
+        if (text.contains("0x") || text.contains("0X"))
+          hexLit.replaceAllIn(text, m => java.lang.Long.parseLong(m.group(1), 16).toString)
+        else text
+      if (hexed.contains('_'))
+        underscoreLit.replaceAllIn(hexed, m =>
+          if (m.matched.contains('_')) m.matched.replace("_", "") else m.matched)
+      else hexed
+    }
 
   // -- temporal FOR clauses ----------------------------------------------
 
@@ -217,8 +240,12 @@ object GraftSql {
 
   // -- JSON operators ------------------------------------------------------
 
-  private val atQuestion = """([\w.\)\]]+)\s*@\?\s*'([^']+)'""".r
-  private val atArrow = """([\w.\)\]]+)\s*@>\s*'(\{[^']*\})'""".r
+  // LHS alternatives: a string literal (JSON text inline) or a dotted
+  // identifier / call-chain tail. replaceOutsideLiterals checks the match
+  // START, and literalMask excludes the opening quote, so a literal LHS
+  // still rewrites while content inside other literals stays untouched.
+  private val atQuestion = """('(?:[^']|'')*'|[\w.\)\]]+)\s*@\?\s*'([^']+)'""".r
+  private val atArrow = """('(?:[^']|'')*'|[\w.\)\]]+)\s*@>\s*'(\{[^']*\})'""".r
 
   /** `col @> '{"k":1,"s":"x"}'` (JSONB containment, reference AtArrow at
     * opteryx/managers/expression/ops.py:291-365): every key/value of the
@@ -308,33 +335,13 @@ object GraftSql {
             while (rEnd < sql.length && sql.charAt(rEnd).isDigit) rEnd += 1
             key = sql.substring(r, rEnd)
           }
-          // ---- LHS: dotted identifier, or a balanced (...)/[...] group with
-          // its preceding function name (for chained get_json_object calls)
+          // ---- LHS: string literal, dotted identifier, or a balanced
+          // (...)/[...] group with its preceding function name (for chained
+          // get_json_object calls)
           var l = i - 1
           while (l >= 0 && sql.charAt(l).isWhitespace) l -= 1
           val lhsEnd = l + 1
-          var lhsStart = -1
-          if (l >= 0 && (sql.charAt(l) == ')' || sql.charAt(l) == ']')) {
-            var depth = 0
-            var k = l
-            var open = -1
-            while (k >= 0 && open < 0) {
-              val ch = sql.charAt(k)
-              if (!mask(k) && (ch == ')' || ch == ']')) depth += 1
-              else if (!mask(k) && (ch == '(' || ch == '[')) { depth -= 1; if (depth == 0) open = k }
-              k -= 1
-            }
-            if (open >= 0) {
-              var w = open - 1
-              while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' || sql.charAt(w) == '.')) w -= 1
-              lhsStart = w + 1
-            }
-          } else {
-            var w = l
-            while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' ||
-              sql.charAt(w) == '.' || sql.charAt(w) == '$')) w -= 1
-            if (w + 1 <= l) lhsStart = w + 1
-          }
+          val lhsStart = operandStart(sql, mask, l)
           if (wellFormed && lhsStart >= 0 && lhsStart < lhsEnd) {
             val lhs = sql.substring(lhsStart, lhsEnd)
             var p = lhsStart - 1
@@ -360,30 +367,138 @@ object GraftSql {
   private def jsonPath(key: String): String =
     if (key.startsWith("$")) key else s"$$.$key"
 
-  // -- array-quantified comparisons -------------------------------------------
-
-  private val anyOp = """(?i)('[^']*'|[\w.]+)\s*(=|!=|<>|>=|<=|>|<)\s*ANY\s*\(\s*([\w.]+)\s*\)""".r
-  private val allOp = """(?i)('[^']*'|[\w.]+)\s*(=|!=|<>)\s*ALL\s*\(\s*([\w.]+)\s*\)""".r
-  private val anyLike = """(?i)('[^']*'|[\w.]+)\s+(I?LIKE)\s+ANY\s*\(\s*([\w.]+)\s*\)""".r
-
-  /** Scalar-vs-array quantified comparisons (reference:
-    * opteryx/managers/expression/ops.py:254-290 — `x = ANY(arr)`,
-    * `x != ALL(arr)`, `x LIKE ANY(arr)`) → Spark higher-order
-    * `exists`/`forall` lambdas, which stay codegen-friendly. */
-  private def rewriteQuantified(sql: String): String = {
-    var s = sql
-    if (s.toUpperCase.contains("ANY") || s.toUpperCase.contains("ALL")) {
-      s = replaceOutsideLiterals(anyLike, s) { m =>
-        val like = if (m.group(2).equalsIgnoreCase("ILIKE"))
-          s"ilike(__x, ${m.group(1)})" else s"__x LIKE ${m.group(1)}"
-        s"exists(${m.group(3)}, __x -> $like)"
+  /** Scan backwards from inclusive position `l` (the last non-space char of
+    * an operand) to the operand's start: a string literal, a balanced
+    * (...)/[...] group with an optional preceding dotted call name, or a
+    * dotted identifier. Returns -1 when nothing operand-like ends at `l`. */
+  private def operandStart(sql: String, mask: Array[Boolean], l: Int): Int = {
+    if (l < 0) -1
+    else if (sql.charAt(l) == '\'' && mask(l)) {
+      // closing quote of a literal: walk the masked interior to the opener
+      var k = l - 1
+      while (k >= 0 && mask(k)) k -= 1
+      if (k >= 0 && sql.charAt(k) == '\'') k else -1
+    } else if (sql.charAt(l) == ')' || sql.charAt(l) == ']') {
+      var depth = 0
+      var k = l
+      var open = -1
+      while (k >= 0 && open < 0) {
+        val ch = sql.charAt(k)
+        if (!mask(k) && (ch == ')' || ch == ']')) depth += 1
+        else if (!mask(k) && (ch == '(' || ch == '[')) { depth -= 1; if (depth == 0) open = k }
+        k -= 1
       }
-      s = replaceOutsideLiterals(anyOp, s)(m =>
-        s"exists(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)")
-      s = replaceOutsideLiterals(allOp, s)(m =>
-        s"forall(${m.group(3)}, __x -> ${m.group(1)} ${m.group(2)} __x)")
+      if (open < 0) -1
+      else {
+        var w = open - 1
+        while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' || sql.charAt(w) == '.')) w -= 1
+        w + 1
+      }
+    } else {
+      var w = l
+      while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' ||
+        sql.charAt(w) == '.' || sql.charAt(w) == '$')) w -= 1
+      if (w + 1 <= l) w + 1 else -1
+    }
+  }
+
+  // -- quantified comparisons -------------------------------------------------
+
+  private val quantKw = """(?i)\b(ANY|ALL|SOME)\s*\(""".r
+  private val likeTail = """(?is).*\b(NOT\s+I?LIKE|NOT\s+RLIKE|I?LIKE|RLIKE)$""".r
+
+  /** Quantified comparisons (reference: opteryx/managers/expression/
+    * ops.py:254-290 — `x = ANY(arr)`, `x != ALL(arr)`, `x LIKE ANY(arr)`,
+    * plus the ANSI subquery forms). A balanced scanner, not a regex: the
+    * RHS may be any call chain (`ANY(transform(w, x -> length(x)))`) or a
+    * subquery. Array RHS compiles to Spark higher-order `exists`/`forall`
+    * lambdas (codegen-friendly); subquery RHS compiles to IN / NOT IN or an
+    * extremum scalar subquery (`> ALL (SELECT s)` → `> (SELECT max(s))`).
+    * `ANY(col)` with NO preceding comparison operator is Spark's boolean
+    * aggregate and is left untouched. */
+  private def rewriteQuantified(sql: String): String = {
+    val upper = sql.toUpperCase
+    if (!upper.contains("ANY") && !upper.contains("ALL") && !upper.contains("SOME")) return sql
+    var s = sql
+    var step = quantStep(s)
+    var guard = 0
+    while (step.isDefined && guard < 64) {
+      s = step.get
+      step = quantStep(s)
+      guard += 1
     }
     s
+  }
+
+  /** Rewrite the first applicable quantified comparison, or None. */
+  private def quantStep(sql: String): Option[String] = {
+    val mask = literalMask(sql)
+    val it = quantKw.findAllMatchIn(sql)
+    while (it.hasNext) {
+      val m = it.next()
+      if (!mask(m.start)) {
+        val kw = m.group(1).toUpperCase
+        // ---- operator lookbehind (no operator → boolean aggregate, skip)
+        var p = m.start - 1
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        val opEnd = p + 1
+        var op: String = null
+        for (o <- Seq("<=", ">=", "!=", "<>", "=", "<", ">") if op == null)
+          if (opEnd >= o.length && sql.substring(opEnd - o.length, opEnd) == o &&
+            !(o == "=" && opEnd >= 2 && "<>!=".contains(sql.charAt(opEnd - 2)))) op = o
+        if (op == null) sql.substring(0, opEnd) match {
+          case likeTail(w) => op = w.toUpperCase.replaceAll("\\s+", " ")
+          case _ =>
+        }
+        if (op != null) {
+          // ---- LHS operand before the operator
+          var l = opEnd - op.length - 1
+          while (l >= 0 && sql.charAt(l).isWhitespace) l -= 1
+          val lhsStart = operandStart(sql, mask, l)
+          // ---- RHS: balanced paren group from the keyword's open paren
+          val open = m.end - 1
+          var depth = 0
+          var k = open
+          var close = -1
+          while (k < sql.length && close < 0) {
+            val ch = sql.charAt(k)
+            if (!mask(k) && ch == '(') depth += 1
+            else if (!mask(k) && ch == ')') { depth -= 1; if (depth == 0) close = k }
+            k += 1
+          }
+          if (lhsStart >= 0 && lhsStart <= l && close >= 0) {
+            val lhs = sql.substring(lhsStart, l + 1)
+            val inner = sql.substring(open + 1, close).trim
+            val innerU = inner.toUpperCase
+            val isSubquery = innerU.startsWith("SELECT") || innerU.startsWith("WITH")
+            val existsQ = kw == "ANY" || kw == "SOME"
+            val replacement: Option[String] =
+              if (!isSubquery) {
+                val body = op match {
+                  case "ILIKE" => s"ilike($lhs, __x)"
+                  case "NOT ILIKE" => s"NOT ilike($lhs, __x)"
+                  case o => s"$lhs $o __x"
+                }
+                Some(if (existsQ) s"exists($inner, __x -> $body)"
+                else s"forall($inner, __x -> $body)")
+              } else (op, existsQ) match {
+                case ("=", true) => Some(s"$lhs IN ($inner)")
+                case ("!=", false) | ("<>", false) => Some(s"$lhs NOT IN ($inner)")
+                case (">", _) | (">=", _) | ("<", _) | ("<=", _) =>
+                  // > ANY(S) ⇔ lhs > min(S); > ALL(S) ⇔ lhs > max(S); dual for <
+                  val wantMin = (op.startsWith(">") && existsQ) || (op.startsWith("<") && !existsQ)
+                  val agg = if (wantMin) "MIN" else "MAX"
+                  Some(s"$lhs $op (SELECT $agg(__v) FROM ($inner) AS __q(__v))")
+                case _ => None // = ALL / != ANY subquery forms: unsupported
+              }
+            replacement.foreach { rep =>
+              return Some(sql.substring(0, lhsStart) + rep + sql.substring(close + 1))
+            }
+          }
+        }
+      }
+    }
+    None
   }
 
   // -- @variables ------------------------------------------------------------
