@@ -55,30 +55,16 @@ object PipelineQueries2 {
         JOIN embeddings n ON n.vec_id = c.n_id) t
       WHERE rn <= 5 ORDER BY q_id, rn""")) { (s, dir) =>
       val e = Tables.df(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-      def nearest(src: DataFrame, idCol: String, keep: Int): DataFrame = {
-        val cos = Functions.cosineSimilarity(col("embedding"), col("cvec"))
-        val w = Window.partitionBy(col(idCol)).orderBy(cos.desc, col("cent_id"))
-        src.crossJoin(broadcast(cents))
-          .select(col(idCol), col("cent_id"), row_number().over(w).as("rn"))
-          .filter(col("rn") <= keep).drop("rn")
-      }
-      val assign = nearest(e, "vec_id", 1)
-      val probes = nearest(
-        e.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "q_id"), "q_id", 4)
-      val cand = probes.join(assign, "cent_id")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id")).distinct()
-      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("nvec"))
-      val cos = Functions.cosineSimilarity(col("qvec"), col("nvec"))
-      val w = Window.partitionBy(col("q_id")).orderBy(cos.desc, col("n_id"))
-      cand.join(broadcast(q), "q_id").join(n, "n_id")
-        .select(col("q_id"), col("n_id"), round(cos, 6).as("sim"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") <= 5)
-        .orderBy(col("q_id"), col("rn"))
+      // Gate path uses the deterministic first-16 quantizer (the DuckDB
+      // oracle replicates it); SPARK_GRAFT_IVF_TRAINED=1 swaps in k-means
+      // centroids (IvfIndexSpec covers that path — no SQL-expressible oracle
+      // for a trained model).
+      val cents =
+        if (sys.env.get("SPARK_GRAFT_IVF_TRAINED").contains("1"))
+          IvfIndex.centroidsDf(s, IvfIndex.trainCentroids(e, k = 16))
+        else e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      IvfIndex.ivfTopK(e, cents, col("vec_id") < 5, probes = 4, topK = 5)
     },
 
     // Jaccard with a document-frequency cap — the scale path next to p04's
