@@ -258,7 +258,11 @@ object RelationalQueries {
     },
 
     // NonEquiJoinNode — pure theta join, BroadcastNestedLoopJoin territory
-    // (reference: opteryx/operators/non_equi_join_node.py:38-120)
+    // (reference: opteryx/operators/non_equi_join_node.py:38-120).
+    // Inherently O(n·m): correct as operator coverage, but a 100-TB
+    // deployment would bin acctbal into range buckets and equi-join on the
+    // bucket id (bucket b joins b' <= b, exact compare inside the pair) —
+    // the q14 range-join pattern — rather than nested-loop the fact tables.
     QueryDef("q15_join_theta", Some("""
       SELECT s_suppkey, count(*) AS n_poorer
       FROM supplier JOIN customer ON s_acctbal > c_acctbal
