@@ -539,6 +539,11 @@ object GraftSql {
     s = mapOutsideLiterals(s) { text =>
       text.replaceAll("""(?i)\bUNNEST\s*\(""", "explode(")
     }
+    // EXTRACT(EPOCH FROM x) → unix_timestamp(x): only the prefix is
+    // spliced, so the original close paren still balances (nested args fine)
+    s = mapOutsideLiterals(s) { text =>
+      text.replaceAll("""(?i)\bEXTRACT\s*\(\s*EPOCH\s+FROM\b""", "unix_timestamp(")
+    }
     s
   }
 
