@@ -178,6 +178,11 @@ object Functions {
     if (!reg.functionExists(FunctionIdentifier("time_bucket")))
       spark.udf.register("time_bucket", (d: java.time.Duration, ts: java.sql.Timestamp) =>
         dateBin(d, ts, new java.sql.Timestamp(0L)))
+    // BLOB(x) — binary constructor (reference types corpus spelling;
+    // opteryx/functions/__init__.py BLOB → bytes cast)
+    reg.createOrReplaceTempFunction("blob",
+      (es: Seq[Expression]) => Cast(es.head, org.apache.spark.sql.types.BinaryType),
+      "internal")
     // Bitwise spellings the reference exposes as functions
     // (reference: opteryx/managers/expression/ops.py bitwise table)
     reg.createOrReplaceTempFunction("xor",

@@ -544,6 +544,15 @@ object GraftSql {
     s = mapOutsideLiterals(s) { text =>
       text.replaceAll("""(?i)\bEXTRACT\s*\(\s*EPOCH\s+FROM\b""", "unix_timestamp(")
     }
+    // Cast spellings: SAFE_CAST ≡ TRY_CAST (reference:
+    // opteryx/functions/__init__.py cast registry); bare VARCHAR (no length)
+    // → STRING — Spark's VARCHAR requires a length, the reference's doesn't
+    s = mapOutsideLiterals(s) { text =>
+      text
+        .replaceAll("""(?i)\bSAFE_CAST\s*\(""", "try_cast(")
+        .replaceAll("""(?i)\bAS\s+VARCHAR\s*(\)|,)""", "AS STRING$1")
+        .replaceAll("""(?i)::\s*VARCHAR\b(?!\s*\()""", "::STRING")
+    }
     s
   }
 
