@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+
+/** Gate-query batch 3: capabilities that round 1 proved only in ScalaTest or
+  * the run-only battery, promoted to the DuckDB-oracle gate. Output-type
+  * contracts follow the round-1 lessons: BIGINT for counts/bit-aggs on both
+  * sides, DOUBLE casts over decimal-exact sums, rounding on FP window
+  * frames, strings for list-valued aggregates.
+  */
+object RelationalQueries3 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // NullReaderNode at the gate: a contradiction collapses the scan to an
+    // empty relation (Catalyst PropagateEmptyRelation), and a global
+    // aggregate over it still yields its one row
+    // (reference: opteryx null_reader_node — contradiction → empty page).
+    QueryDef("q72_contradiction_empty", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l_extendedprice) AS DOUBLE) AS s
+      FROM lineitem WHERE 1 = 0""")) { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .filter(lit(false))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice")).cast("double").as("s"))
+    },
+
+    // Aggregate FILTER clause (ANSI; beyond the reference's aggregate
+    // registry) — per-group conditional counts without self-joins.
+    QueryDef("q73_filter_clause", Some("""
+      SELECT l_returnflag,
+             CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS hi,
+             CAST(count(*) FILTER (WHERE l_quantity <= 25) AS BIGINT) AS lo
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("l_quantity") > 25, 1)).as("hi"),
+          count(when(col("l_quantity") <= 25, 1)).as("lo"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // INTERSECT ALL — multiset semantics (duplicates preserved), one shuffle
+    // on the compared columns.
+    QueryDef("q74_intersect_all", Some("""
+      SELECT k FROM (
+        SELECT CAST(n_regionkey AS BIGINT) AS k FROM nation
+        INTERSECT ALL
+        SELECT CAST(r_regionkey AS BIGINT) AS k FROM region
+      ) t ORDER BY k""")) { (s, dir) =>
+      Tables.df(s, dir, "nation").select(col("n_regionkey").cast("bigint").as("k"))
+        .intersectAll(
+          Tables.df(s, dir, "region").select(col("r_regionkey").cast("bigint").as("k")))
+        .orderBy(col("k"))
+    },
+
+    // EXCEPT ALL — multiset difference.
+    QueryDef("q75_except_all", Some("""
+      SELECT k FROM (
+        SELECT CAST(n_regionkey AS BIGINT) AS k FROM nation
+        EXCEPT ALL
+        SELECT CAST(n_regionkey AS BIGINT) AS k FROM nation WHERE n_nationkey < 5
+      ) t ORDER BY k""")) { (s, dir) =>
+      val n = Tables.df(s, dir, "nation")
+      n.select(col("n_regionkey").cast("bigint").as("k"))
+        .exceptAll(n.filter(col("n_nationkey") < 5)
+          .select(col("n_regionkey").cast("bigint").as("k")))
+        .orderBy(col("k"))
+    },
+
+    // Exact MEDIAN per group — both engines compute the exact middle value
+    // over doubles (reference APPROXIMATE_MEDIAN is the sketch variant,
+    // covered in q41; this is the exact tier).
+    QueryDef("q76_median", Some("""
+      SELECT l_returnflag,
+             CAST(median(l_quantity) AS DOUBLE) AS med,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).cast("double").as("med"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // MAX_BY / MIN_BY (argmax/argmin) — deterministic because the ordering
+    // key (c_custkey) is unique.
+    QueryDef("q77_arg_extrema", Some("""
+      SELECT c_mktsegment,
+             max_by(c_name, c_custkey) AS newest,
+             min_by(c_name, c_custkey) AS oldest
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(max_by(col("c_name"), col("c_custkey")).as("newest"),
+          min_by(col("c_name"), col("c_custkey")).as("oldest"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // JOIN ... USING — shared-name equi-join, single output key column.
+    QueryDef("q78_join_using", Some("""
+      SELECT k, n_name, r_name FROM
+        (SELECT CAST(n_regionkey AS BIGINT) AS k, n_name FROM nation) a
+      JOIN
+        (SELECT CAST(r_regionkey AS BIGINT) AS k, r_name FROM region) b
+      USING (k) ORDER BY k, n_name""")) { (s, dir) =>
+      val a = Tables.df(s, dir, "nation")
+        .select(col("n_regionkey").cast("bigint").as("k"), col("n_name"))
+      val b = Tables.df(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("k"), col("r_name"))
+      a.join(b, Seq("k")).select(col("k"), col("n_name"), col("r_name"))
+        .orderBy(col("k"), col("n_name"))
+    },
+
+    // Window frames — ROWS sliding sum and running average over a unique
+    // ordering key; FP results rounded (frame order is identical on both
+    // engines, rounding guards the last bit).
+    QueryDef("q79_window_frames", Some("""
+      SELECT o_orderkey,
+             round(sum(o_totalprice) OVER (ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll3,
+             round(avg(o_totalprice) OVER (ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS runavg
+      FROM orders ORDER BY o_orderkey LIMIT 500""")) { (s, dir) =>
+      val w3 = Window.orderBy(col("o_orderkey")).rowsBetween(-2, Window.currentRow)
+      val wAll = Window.orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w3), 4).as("roll3"),
+          round(avg(col("o_totalprice")).over(wAll), 4).as("runavg"))
+        .orderBy(col("o_orderkey")).limit(500)
+    },
+
+    // Inline VALUES relation joined to a table (FunctionDatasetNode VALUES
+    // as a join input, not just a standalone SELECT).
+    QueryDef("q80_values_join", Some("""
+      SELECT r.r_regionkey, v.tag FROM region r
+      JOIN (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma')) AS v(k, tag)
+        ON CAST(r.r_regionkey AS BIGINT) = v.k
+      ORDER BY r.r_regionkey""")) { (s, dir) =>
+      import s.implicits._
+      val v = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("k", "tag")
+      Tables.df(s, dir, "region")
+        .join(broadcast(v), col("r_regionkey").cast("bigint") === col("k"))
+        .select(col("r_regionkey"), col("tag"))
+        .orderBy(col("r_regionkey"))
+    },
+
+    // Ordered STRING_AGG — list-valued aggregate emitted as a string (the
+    // q44 lesson: the gate canonicalizer requires scalar cells).
+    QueryDef("q81_string_agg", Some("""
+      SELECT c_mktsegment,
+             string_agg(c_name, ',' ORDER BY c_name) AS names,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT c_mktsegment, c_name FROM customer WHERE c_custkey <= 50) t
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")) { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .filter(col("c_custkey") <= 50)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Bitwise aggregates over the whole relation — BIGINT on both sides.
+    QueryDef("q82_bit_aggs", Some("""
+      SELECT CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS b_and,
+             CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS b_or,
+             CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS b_xor
+      FROM lineitem""")) { (s, dir) =>
+      val ln = col("l_linenumber").cast("bigint")
+      Tables.df(s, dir, "lineitem")
+        .agg(bit_and(ln).as("b_and"), bit_or(ln).as("b_or"), bit_xor(ln).as("b_xor"))
+    }
+  )
+}
