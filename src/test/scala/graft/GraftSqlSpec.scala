@@ -196,4 +196,49 @@ class GraftSqlSpec extends AnyFunSuite {
     val plan = g.explain("SELECT count(*) FROM lineitem WHERE l_quantity > 10")
     assert(plan.contains("Scan parquet") || plan.contains("PushedFilters") || plan.nonEmpty)
   }
+
+  test("JSON arrows accept a string-literal LHS, chained") {
+    assert(g.query("SELECT '{\"k\": 42}' ->> 'k' AS v").head().getString(0) == "42")
+    assert(g.query("SELECT '{\"a\": {\"b\": \"deep\"}}' -> 'a' ->> 'b' AS v")
+      .head().getString(0) == "deep")
+    assert(g.query("SELECT '[10, 20, 30]' -> 1 AS v").head().getString(0) == "20")
+    // literal LHS with a lambda arrow earlier in the same statement
+    val mixed = g.query(
+      "SELECT transform(array(1), x -> x + 1) AS a, '{\"v\": 9}' ->> 'v' AS v")
+    assert(mixed.head().getString(1) == "9")
+  }
+
+  test("quantified scanner: function-call RHS, subquery forms, aggregate ANY untouched") {
+    // array-function RHS (the old identifier-only regex missed these)
+    assert(g.query("SELECT 'x' != ALL(array('y', 'z')) AS v").head().getBoolean(0))
+    assert(g.query("SELECT 3 < ANY(transform(array(1, 2), x -> x * 2)) AS v")
+      .head().getBoolean(0))
+    // subquery forms → IN / extremum scalar subquery
+    val inForm = g.query(
+      "SELECT count(*) AS n FROM nation WHERE n_regionkey = ANY (SELECT r_regionkey FROM region WHERE r_regionkey < 2)")
+    assert(inForm.head().getLong(0) > 0)
+    val allForm = g.query(
+      "SELECT count(*) AS n FROM supplier WHERE s_acctbal > ALL (SELECT 0.0)")
+    val direct = g.query(
+      "SELECT count(*) AS n FROM supplier WHERE s_acctbal > 0.0")
+    assert(allForm.head().getLong(0) == direct.head().getLong(0))
+    // bare ANY(...) with no comparison operator is Spark's boolean aggregate
+    assert(!g.query("SELECT any(n_regionkey > 99) AS v FROM nation").head().getBoolean(0))
+  }
+
+  test("numeric literal spellings: 0x hex and underscore separators") {
+    assert(g.query("SELECT 0x1F AS v").head().getAs[Number](0).longValue == 31L)
+    assert(g.query("SELECT 1_000_000 AS v").head().getAs[Number](0).longValue == 1000000L)
+    // inside a string literal these are content, not literals
+    assert(g.query("SELECT '0x1F and 1_000' AS v").head().getString(0) == "0x1F and 1_000")
+  }
+
+  test("cast spellings: SAFE_CAST, bare VARCHAR, BLOB, EXTRACT(EPOCH)") {
+    assert(g.query("SELECT SAFE_CAST('abc' AS INT) AS v").head().isNullAt(0))
+    assert(g.query("SELECT CAST(42 AS VARCHAR) AS v").head().getString(0) == "42")
+    assert(g.query("SELECT BLOB('ab') = 'ab' AS v").head().getBoolean(0))
+    assert(g.query(
+      "SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:01:00') AS v")
+      .head().getLong(0) == 60L)
+  }
 }
