@@ -115,4 +115,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(nodes.exists(_.nodeName.contains("WholeStageCodegen")),
       "expected WholeStageCodegen spans")
   }
+
+  test("q72 (contradiction): optimizer collapses the scan — no file read at all") {
+    val nodes = collectAll(planOf(run("q72_contradiction_empty")))
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "WHERE 1=0 must propagate to an empty relation, not scan parquet")
+  }
+
+  test("q80 (VALUES join): the inline relation broadcasts") {
+    val plan = planOf(run("q80_values_join")).toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"3-row VALUES side must broadcast:\n$plan")
+  }
 }
