@@ -91,6 +91,12 @@ class Graft(val spark: SparkSession) {
     queryImpl(sql, Nil, params)
 
   private def queryImpl(sql: String, args: Seq[Any], named: Map[String, Any]): DataFrame = {
+    // multi-statement scripts (`SET @x = ...; SELECT ...`) run sequentially;
+    // the last statement's result is the script's result (reference:
+    // variations corpus runs SET+SELECT as one string)
+    val parts = GraftSql.splitStatements(sql)
+    if (parts.length > 1)
+      return parts.map(p => queryImpl(p, args, named)).last
     // EXECUTE <prepared> (p1, p2, ...) — positional binds, injection-safe
     sql match {
       case executeRe(name, params) if prepared.contains(name) =>

@@ -33,6 +33,33 @@ object GraftSql {
       temporal: Seq[TemporalRange],
       pathTables: Seq[String])
 
+  /** Split a script into top-level statements on `;` outside string
+    * literals (reference variations corpus runs `SET @x = ...; SELECT ...`
+    * as one script). Comments are stripped first so a `;` inside one can't
+    * split. Single statements come back as-is. */
+  def splitStatements(sql: String): Seq[String] = {
+    val s = stripComments(sql)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inStr = false
+        }
+      } else if (c == '\'') { inStr = true; cur.append(c) }
+      else if (c == ';') { parts += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    parts += cur.toString
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   def rewrite(sql: String): Rewritten = {
     var s = stripComments(sql)
     s = rewriteNumericLiterals(s)

@@ -241,4 +241,13 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:01:00') AS v")
       .head().getLong(0) == 60L)
   }
+
+  test("multi-statement scripts: SET then SELECT, last result wins") {
+    val r = g.query("SET @mscript = 'Earth'; SELECT name FROM $planets WHERE name = @mscript")
+    assert(r.count() == 1 && r.head().getString(0) == "Earth")
+    val two = g.query("SET @x1 = 10; SET @x2 = 32; SELECT @x1 + @x2 AS v")
+    assert(two.head().getAs[Number](0).intValue == 42)
+    // semicolons inside literals don't split
+    assert(g.query("SELECT 'a;b' AS v").head().getString(0) == "a;b")
+  }
 }
