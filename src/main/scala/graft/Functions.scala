@@ -178,6 +178,12 @@ object Functions {
     if (!reg.functionExists(FunctionIdentifier("time_bucket")))
       spark.udf.register("time_bucket", (d: java.time.Duration, ts: java.sql.Timestamp) =>
         dateBin(d, ts, new java.sql.Timestamp(0L)))
+    // CONNECTION_ID() — session identity (reference system corpus;
+    // opteryx exposes the engine process id). Constant per session.
+    val sessionId = java.util.UUID.nameUUIDFromBytes(
+      spark.sparkContext.applicationId.getBytes("UTF-8")).getMostSignificantBits.abs
+    reg.createOrReplaceTempFunction("connection_id",
+      (_: Seq[Expression]) => Literal(sessionId), "internal")
     // BLOB(x) — binary constructor (reference types corpus spelling;
     // opteryx/functions/__init__.py BLOB → bytes cast)
     reg.createOrReplaceTempFunction("blob",
