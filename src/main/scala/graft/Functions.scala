@@ -178,6 +178,30 @@ object Functions {
     if (!reg.functionExists(FunctionIdentifier("time_bucket")))
       spark.udf.register("time_bucket", (d: java.time.Duration, ts: java.sql.Timestamp) =>
         dateBin(d, ts, new java.sql.Timestamp(0L)))
+    // Registry spellings from the reference's function table
+    // (opteryx/functions/__init__.py:508-659) that Spark spells differently:
+    // PHI (golden-ratio literal, folded at plan time like PI), the
+    // *_ENCODE/*_DECODE hash aliases, array containment quantifiers, and
+    // GET_STRING (JSON field subscript returning string).
+    import org.apache.spark.sql.catalyst.expressions.{ArrayExcept, ArraysOverlap, Base64, Concat, EqualTo, GetJsonObject, Hex, Size, UnBase64, Unhex}
+    reg.createOrReplaceTempFunction("phi",
+      (_: Seq[Expression]) => Literal(1.618033988749895), "internal")
+    reg.createOrReplaceTempFunction("hex_encode",
+      (es: Seq[Expression]) => Hex(es.head), "internal")
+    reg.createOrReplaceTempFunction("hex_decode",
+      (es: Seq[Expression]) => Unhex(es.head), "internal")
+    reg.createOrReplaceTempFunction("base64_encode",
+      (es: Seq[Expression]) => Base64(es.head), "internal")
+    reg.createOrReplaceTempFunction("base64_decode",
+      (es: Seq[Expression]) => new UnBase64(es.head), "internal")
+    reg.createOrReplaceTempFunction("array_contains_any",
+      (es: Seq[Expression]) => ArraysOverlap(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("array_contains_all",
+      (es: Seq[Expression]) => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0)),
+      "internal")
+    reg.createOrReplaceTempFunction("get_string",
+      (es: Seq[Expression]) => GetJsonObject(es(0),
+        Concat(Seq(Literal("$."), es(1)))), "internal")
     // CONNECTION_ID() — session identity (reference system corpus;
     // opteryx exposes the engine process id). Constant per session.
     val sessionId = java.util.UUID.nameUUIDFromBytes(

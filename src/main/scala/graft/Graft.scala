@@ -127,10 +127,13 @@ class Graft(val spark: SparkSession) {
       case _ => ()
     }
     val rw = GraftSql.rewrite(sql)
-    // $variables is session-state-dependent — refresh it per statement
+    // $variables / $statistics are session-state-dependent — refresh per statement
     if (rw.sql.contains(graft.sources.VirtualDatasets.prefix + "variables"))
       graft.sources.VirtualDatasets.variables(spark)
         .createOrReplaceTempView(graft.sources.VirtualDatasets.prefix + "variables")
+    if (rw.sql.contains(graft.sources.VirtualDatasets.prefix + "statistics"))
+      graft.sources.VirtualDatasets.statistics(spark)
+        .createOrReplaceTempView(graft.sources.VirtualDatasets.prefix + "statistics")
     // zero-config path tables → temp views (Catalyst prunes/pushes down into
     // the scan exactly as for a catalog table)
     rw.pathTables.foreach { p =>

@@ -91,4 +91,27 @@ object VirtualDatasets {
     import spark.implicits._
     spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
   }
+
+  /** $statistics — engine runtime counters as key/value rows (reference:
+    * opteryx/virtual_datasets/statistics.py publishes bufferpool/system
+    * counters; the Spark-native equivalents are scheduler, executor and
+    * session counters — Spark's buffer pool is Tungsten's, not ours to
+    * meter). */
+  def statistics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val tracker = sc.statusTracker
+    Seq(
+      "uptime_seconds" -> ((System.currentTimeMillis() - sc.startTime) / 1000.0).toString,
+      "spark_version" -> sc.version,
+      "application_id" -> sc.applicationId,
+      "default_parallelism" -> sc.defaultParallelism.toString,
+      "executor_count" -> tracker.getExecutorInfos.length.toString,
+      "active_jobs" -> tracker.getActiveJobIds().length.toString,
+      "active_stages" -> tracker.getActiveStageIds().length.toString,
+      "completed_jobs" -> tracker.getJobIdsForGroup(null).length.toString,
+      "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "aqe_enabled" -> spark.conf.get("spark.sql.adaptive.enabled"))
+      .toDF("key", "value")
+  }
 }
