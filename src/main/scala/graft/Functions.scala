@@ -202,6 +202,20 @@ object Functions {
     reg.createOrReplaceTempFunction("get_string",
       (es: Seq[Expression]) => GetJsonObject(es(0),
         Concat(Seq(Literal("$."), es(1)))), "internal")
+    // Date spellings (reference: opteryx/functions/date_functions.py):
+    // TIMEDIFF(t1, t2) = whole hours from t1 to t2; UNIXTIME = epoch
+    // seconds; SORT = ascending array sort.
+    import org.apache.spark.sql.catalyst.expressions.{Divide, SortArray, Subtract, UnixTimestamp}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    reg.createOrReplaceTempFunction("timediff",
+      (es: Seq[Expression]) => Cast(Divide(
+        Cast(Subtract(new UnixTimestamp(es(1)), new UnixTimestamp(es(0))), DoubleType),
+        Literal(3600.0)), LongType), "internal")
+    if (!reg.functionExists(FunctionIdentifier("unixtime")))
+      reg.createOrReplaceTempFunction("unixtime",
+        (es: Seq[Expression]) => new UnixTimestamp(es.head), "internal")
+    reg.createOrReplaceTempFunction("sort",
+      (es: Seq[Expression]) => SortArray(es.head, Literal(true)), "internal")
     // CONNECTION_ID() — session identity (reference system corpus;
     // opteryx exposes the engine process id). Constant per session.
     val sessionId = java.util.UUID.nameUUIDFromBytes(
