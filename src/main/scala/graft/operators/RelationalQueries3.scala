@@ -116,22 +116,31 @@ object RelationalQueries3 {
     },
 
     // Window frames — ROWS sliding sum and running average over a unique
-    // ordering key; FP results rounded (frame order is identical on both
-    // engines, rounding guards the last bit).
+    // ordering key. Running sums accumulate in DECIMAL(38,6) (exact,
+    // engine-independent — the growing-prefix double sum diverges in the
+    // last bit between engines), converted to DOUBLE only at the edge.
+    // Note the global ORDER BY window is single-partition by construction
+    // (inherent to a global running total); frame coverage is the point
+    // here — a 100-TB running total would be windowed per key or per time
+    // bucket instead.
     QueryDef("q79_window_frames", Some("""
       SELECT o_orderkey,
-             round(sum(o_totalprice) OVER (ORDER BY o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll3,
-             round(avg(o_totalprice) OVER (ORDER BY o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS runavg
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS roll3,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS runsum,
+             count(*) OVER (ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runcnt
       FROM orders ORDER BY o_orderkey LIMIT 500""")) { (s, dir) =>
+      val dec = col("o_totalprice").cast("decimal(38,6)")
       val w3 = Window.orderBy(col("o_orderkey")).rowsBetween(-2, Window.currentRow)
       val wAll = Window.orderBy(col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.df(s, dir, "orders")
         .select(col("o_orderkey"),
-          round(sum(col("o_totalprice")).over(w3), 4).as("roll3"),
-          round(avg(col("o_totalprice")).over(wAll), 4).as("runavg"))
+          round(sum(dec).over(w3), 2).cast("double").as("roll3"),
+          round(sum(dec).over(wAll), 2).cast("double").as("runsum"),
+          count(lit(1)).over(wAll).as("runcnt"))
         .orderBy(col("o_orderkey")).limit(500)
     },
 
