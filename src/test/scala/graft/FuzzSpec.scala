@@ -78,4 +78,63 @@ class FuzzSpec extends AnyFunSuite {
       assert(viaSql == viaDf, s"mismatch for: $sqlExpr")
     }
   }
+
+  test("random quantified comparisons: dialect ANY/ALL == higher-order plan (30 cases)") {
+    val gen = for {
+      c <- Gen.oneOf("o_orderkey", "o_custkey")
+      vs <- Gen.listOfN(3, Gen.chooseNum(0, 3000))
+      op <- Gen.oneOf("=", "!=", ">", "<")
+      kw <- Gen.oneOf("ANY", "ALL")
+    } yield (c, vs, op, kw)
+    val orders = Tables.df(spark, SharedSpark.sf, "orders")
+    samples(gen, 30, seed = 777L).foreach { case (c, vs, op, kw) =>
+      // ALL supports = / != in the dialect; map unsupported combos to ANY
+      val kw2 = if (kw == "ALL" && (op == ">" || op == "<")) "ANY" else kw
+      val arr = vs.mkString("array(", ", ", ")")
+      val viaSql = g.query(
+        s"SELECT count(*) AS n FROM orders WHERE $c $op $kw2($arr)").head().getLong(0)
+      val lam: Column => Column = x => op match {
+        case "=" => col(c) === x; case "!=" => col(c) =!= x
+        case ">" => col(c) > x; case _ => col(c) < x
+      }
+      val pred = if (kw2 == "ANY") exists(array(vs.map(lit): _*), lam)
+        else forall(array(vs.map(lit): _*), lam)
+      val viaDf = orders.filter(pred).count()
+      assert(viaSql == viaDf, s"mismatch for: $c $op $kw2($arr)")
+    }
+  }
+
+  test("random numeric-literal spellings: hex/underscores == plain decimals (30 cases)") {
+    val gen = for {
+      v <- Gen.chooseNum(1000, 4000000)
+      style <- Gen.oneOf("hex", "underscore")
+    } yield (v, style)
+    val orders = Tables.df(spark, SharedSpark.sf, "orders")
+    samples(gen, 30, seed = 999L).foreach { case (v, style) =>
+      val spelled = style match {
+        case "hex" => "0x" + java.lang.Long.toHexString(v)
+        case _ =>
+          val ds = v.toString.reverse.grouped(3).mkString("_").reverse
+          ds
+      }
+      val viaSql = g.query(
+        s"SELECT count(*) AS n FROM orders WHERE o_orderkey < $spelled").head().getLong(0)
+      val viaDf = orders.filter(col("o_orderkey") < v).count()
+      assert(viaSql == viaDf, s"mismatch for literal $spelled (= $v)")
+    }
+  }
+
+  test("random JSON arrow accessors on literals == get_json_object (20 cases)") {
+    val gen = for {
+      k <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5))
+      v <- Gen.chooseNum(0, 10000)
+    } yield (k, v)
+    samples(gen, 20, seed = 31337L).foreach { case (k, v) =>
+      val json = s"""{"$k": $v}"""
+      val viaArrow = g.query(s"SELECT '$json' ->> '$k' AS v").head().getString(0)
+      val viaFn = g.query(s"SELECT get_json_object('$json', '$$.$k') AS v").head().getString(0)
+      assert(viaArrow == viaFn && viaArrow == v.toString,
+        s"mismatch for $json ->> '$k': arrow=$viaArrow fn=$viaFn")
+    }
+  }
 }
