@@ -134,6 +134,13 @@ class Graft(val spark: SparkSession) {
     if (rw.sql.contains(graft.sources.VirtualDatasets.prefix + "statistics"))
       graft.sources.VirtualDatasets.statistics(spark)
         .createOrReplaceTempView(graft.sources.VirtualDatasets.prefix + "statistics")
+    // information_schema views reflect the catalog at statement time
+    if (rw.sql.contains("graft_infoschema_tables"))
+      graft.sources.VirtualDatasets.infoSchemaTables(spark)
+        .createOrReplaceTempView("graft_infoschema_tables")
+    if (rw.sql.contains("graft_infoschema_columns"))
+      graft.sources.VirtualDatasets.infoSchemaColumns(spark)
+        .createOrReplaceTempView("graft_infoschema_columns")
     // zero-config path tables → temp views (Catalyst prunes/pushes down into
     // the scan exactly as for a catalog table)
     rw.pathTables.foreach { p =>

@@ -541,10 +541,14 @@ object GraftSql {
   // -- virtual datasets + table functions -------------------------------------
 
   /** `$planets` etc. → registered view names (Spark unquoted identifiers
-    * exclude `$`; reference registry at opteryx/virtual_datasets/__init__.py:13-24). */
+    * exclude `$`; reference registry at opteryx/virtual_datasets/__init__.py:13-24).
+    * `information_schema.tables/columns` → catalog-backed views (reference
+    * routes the prefix as a connector, connectors/__init__.py:97). */
   private def rewriteVirtualTables(sql: String): String =
     mapOutsideLiterals(sql) {
       _.replaceAll("""\$([A-Za-z_]\w*)""", graft.sources.VirtualDatasets.prefix + "$1")
+        .replaceAll("""(?i)\binformation_schema\.(tables|columns)\b""",
+          "graft_infoschema_$1")
     }
 
   private val fakeFn = """(?i)\bFAKE\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r

@@ -92,6 +92,29 @@ object VirtualDatasets {
     spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "value")
   }
 
+  /** information_schema.tables / .columns — materialized from the Spark
+    * catalog on demand (reference: opteryx routes `information_schema` as a
+    * connector prefix, connectors/__init__.py:97). Covers temp views and
+    * catalog tables visible to the session. */
+  def infoSchemaTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq
+      .map(t => (Option(t.catalog).getOrElse(""), Option(t.database).getOrElse(""),
+        t.name, t.tableType, t.isTemporary))
+      .sortBy(_._3)
+      .toDF("table_catalog", "table_schema", "table_name", "table_type", "is_temporary")
+  }
+
+  def infoSchemaColumns(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      scala.util.Try(spark.table(t.name).schema.fields.zipWithIndex.map {
+        case (f, i) => (t.name, f.name, i + 1, f.dataType.simpleString, f.nullable)
+      }.toSeq).getOrElse(Nil)
+    }.sortBy(r => (r._1, r._3))
+      .toDF("table_name", "column_name", "ordinal_position", "data_type", "is_nullable")
+  }
+
   /** $statistics — engine runtime counters as key/value rows (reference:
     * opteryx/virtual_datasets/statistics.py publishes bufferpool/system
     * counters; the Spark-native equivalents are scheduler, executor and

@@ -250,4 +250,13 @@ class GraftSqlSpec extends AnyFunSuite {
     // semicolons inside literals don't split
     assert(g.query("SELECT 'a;b' AS v").head().getString(0) == "a;b")
   }
+
+  test("information_schema.tables/columns reflect the catalog") {
+    val t = g.query("SELECT table_name FROM information_schema.tables WHERE table_name = 'customer'")
+    assert(t.count() == 1)
+    val c = g.query(
+      "SELECT column_name FROM information_schema.columns WHERE table_name = 'region' ORDER BY ordinal_position")
+      .collect().map(_.getString(0)).toSeq
+    assert(c == Seq("r_regionkey", "r_name"))
+  }
 }
