@@ -30,7 +30,7 @@ class ShapesBatterySpec extends AnyFunSuite {
   }
 
   test(s"battery loads (${corpus.size} statements)") {
-    assert(corpus.size >= 1100)
+    assert(corpus.size >= 1200)
   }
 
   corpus.foreach { case (expRows, expCols, sql, line) =>
