@@ -128,4 +128,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(finalRows == batch)
   }
+
+  private lazy val docsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-docs")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("documents.parquet"),
+      java.nio.file.Paths.get(SharedSpark.sf, "documents.parquet"))
+    d.toString
+  }
+
+  test("streaming document dedup matches batch distinct-digest count") {
+    val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
+    val q = graft.streaming.DocumentStreams.dedupByContent(stream)
+      .writeStream.outputMode("append").format("memory").queryName("doc_dedup").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("doc_dedup").count()
+    val batch = graft.streaming.DocumentStreams.cleanAndFingerprint(
+      Tables.df(spark, SharedSpark.sf, "documents"))
+      .select(col("digest")).distinct().count()
+    assert(streamed == batch)
+  }
+
+  test("streaming per-language corpus stats match the batch aggregate") {
+    val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
+    runToMemory(graft.streaming.DocumentStreams.langStats(stream), "doc_stats")
+    val streamed = spark.table("doc_stats")
+      .select(col("lang"), col("n_docs"), col("n_tokens"))
+      .orderBy(col("lang")).collect()
+    val batch = graft.streaming.DocumentStreams.cleanAndFingerprint(
+      Tables.df(spark, SharedSpark.sf, "documents"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("lang")).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1)
+        && a.getLong(2) == b.getLong(2))
+    }
+  }
 }
