@@ -117,6 +117,13 @@ object PipelineQueries {
 
     // n-gram Jaccard near-dedup: blocked on shared shingles (never all-pairs),
     // exact |A∩B| / |A∪B| over distinct 3-shingles.
+    // Evaluated alternative: AllPairs/PPJoin prefix filtering (rarity-ordered
+    // prefixes suppress hot-shingle blowup). Measured 2x SLOWER at sf0.1 —
+    // at t=0.2 the prefix trims only ~20% of tokens while adding a DF join,
+    // two windows and a pair-distinct, and the intersection-via-groupBy here
+    // already gets map-side partial aggregation. Prefix filtering wins at
+    // high thresholds (t >= 0.7) or stop-phrase-skewed corpora; p17's
+    // capped-DF variant is this pipeline's skew-safe tier.
     QueryDef("p04_dedup_jaccard", Some("""
       WITH sh AS (
         SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
