@@ -204,6 +204,86 @@ object TpchQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // TPC-H Q5 shape (local supplier volume): the classic 6-table join —
+    // customer and supplier constrained to the SAME nation, revenue per
+    // nation within one region. Scale plan: region/nation broadcast; the
+    // customer->orders->lineitem chain shuffles on its join keys once;
+    // supplier joins on (suppkey) with the nation-equality as a post-join
+    // filter pushed into the join condition.
+    QueryDef("q83_tpch_q5", Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= DATE '1994-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")) { (s, dir) =>
+      val c = Tables.df(s, dir, "customer")
+      val o = Tables.df(s, dir, "orders")
+      val l = Tables.df(s, dir, "lineitem")
+      val sup = Tables.df(s, dir, "supplier")
+      val n = Tables.df(s, dir, "nation")
+      val r = Tables.df(s, dir, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit(java.sql.Date.valueOf("1994-01-01")))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q12 shape (shipping-mode priority buckets, adapted: the
+    // testdata schema carries shipdate only, so buckets split on ship
+    // latency vs order date). One join, map-side conditional aggregation.
+    QueryDef("q84_tpch_q12", Some("""
+      SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                  THEN 'late' ELSE 'on-time' END AS bucket,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+      val l = Tables.df(s, dir, "lineitem")
+      val o = Tables.df(s, dir, "orders")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("bucket",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "late")
+            .otherwise("on-time"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(hi, 1).otherwise(0)).cast("bigint").as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).cast("bigint").as("low_line_count"))
+        .orderBy(col("bucket"))
+    },
+
+    // TPC-H Q16 shape (supplier breadth per product family, adapted:
+    // no partsupp table — supplier-part relationships derive from
+    // lineitem facts). Distinct-count after a two-join chain.
+    QueryDef("q85_tpch_q16", Some("""
+      SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_size >= 20
+      GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""")) { (s, dir) =>
+      val l = Tables.df(s, dir, "lineitem")
+      val p = Tables.df(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_size") >= 20)
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"))
     }
   )
 }
