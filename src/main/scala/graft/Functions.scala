@@ -202,6 +202,20 @@ object Functions {
     reg.createOrReplaceTempFunction("get_string",
       (es: Seq[Expression]) => GetJsonObject(es(0),
         Concat(Seq(Literal("$."), es(1)))), "internal")
+    // Plan-time date spellings (reference folds these as constants,
+    // functions/__init__.py:176-228): TODAY()/YESTERDAY() date literals,
+    // UTC_TIMESTAMP (the session runs in UTC), COUNT_DISTINCT aggregate.
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, DateSub}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    reg.createOrReplaceTempFunction("today",
+      (_: Seq[Expression]) => CurrentDate(), "internal")
+    reg.createOrReplaceTempFunction("yesterday",
+      (_: Seq[Expression]) => DateSub(CurrentDate(), Literal(1)), "internal")
+    reg.createOrReplaceTempFunction("utc_timestamp",
+      (_: Seq[Expression]) => CurrentTimestamp(), "internal")
+    reg.createOrReplaceTempFunction("count_distinct",
+      (es: Seq[Expression]) => Count(es).toAggregateExpression(isDistinct = true),
+      "internal")
     // Date spellings (reference: opteryx/functions/date_functions.py):
     // TIMEDIFF(t1, t2) = whole hours from t1 to t2; UNIXTIME = epoch
     // seconds; SORT = ascending array sort.
