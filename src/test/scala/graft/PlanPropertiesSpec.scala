@@ -127,4 +127,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
       s"3-row VALUES side must broadcast:\n$plan")
   }
+
+  test("q83 (TPC-H Q5): nation/region dims broadcast; no cartesian product") {
+    val plan = planOf(run("q83_tpch_q5")).toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dimension sides must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "six-table join must stay hash/broadcast joins")
+  }
 }
