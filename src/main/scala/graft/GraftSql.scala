@@ -178,16 +178,31 @@ object GraftSql {
   private val hexLit = """\b0[xX]([0-9a-fA-F]+)\b""".r
   private val underscoreLit = """\b(\d[\d_]*\d)\b""".r
 
+  /** Apply `f` only to the spans outside backtick-quoted identifiers (which
+    * may legally start with a digit, e.g. `` `1_2` ``). Odd split indices are
+    * identifier interiors; a doubled `` `` `` escape yields empty even spans,
+    * which `f` maps harmlessly. */
+  private def mapOutsideBackticks(text: String)(f: String => String): String =
+    if (!text.contains('`')) f(text)
+    else text.split("`", -1).zipWithIndex.map { case (seg, idx) =>
+      if (idx % 2 == 0) f(seg) else seg
+    }.mkString("`")
+
   private def rewriteNumericLiterals(sql: String): String =
-    mapOutsideLiterals(sql) { text =>
-      val hexed =
-        if (text.contains("0x") || text.contains("0X"))
-          hexLit.replaceAllIn(text, m => java.lang.Long.parseLong(m.group(1), 16).toString)
-        else text
-      if (hexed.contains('_'))
-        underscoreLit.replaceAllIn(hexed, m =>
-          if (m.matched.contains('_')) m.matched.replace("_", "") else m.matched)
-      else hexed
+    mapOutsideLiterals(sql) { outer =>
+      mapOutsideBackticks(outer) { text =>
+        val hexed =
+          if (text.contains("0x") || text.contains("0X"))
+            hexLit.replaceAllIn(text, m =>
+              // out-of-range hex stays as written so Spark reports the error
+              try java.lang.Long.parseLong(m.group(1), 16).toString
+              catch { case _: NumberFormatException => Matcher.quoteReplacement(m.matched) })
+          else text
+        if (hexed.contains('_'))
+          underscoreLit.replaceAllIn(hexed, m =>
+            if (m.matched.contains('_')) m.matched.replace("_", "") else m.matched)
+        else hexed
+      }
     }
 
   // -- temporal FOR clauses ----------------------------------------------
@@ -306,18 +321,18 @@ object GraftSql {
     * by an explicit scanner rather than one regex, because three things share
     * the `->` spelling:
     *   - arrows inside string literals are content (skipped via the mask);
-    *   - Spark lambda arrows (`transform(arr, x -> 1)`) must be left alone —
-    *     an integer-RHS arrow whose bare-identifier LHS directly follows
-    *     `(` or `,` is treated as a lambda (an arrow whose RHS is neither a
-    *     quoted key nor an integer never matches at all, so `x -> x + 1`
-    *     is naturally safe);
+    *   - Spark lambda arrows (`transform(arr, x -> 1)`,
+    *     `transform(arr, x -> 'tag')`, `(a, b) -> 1`) must be left alone —
+    *     an arrow whose LHS is a lambda parameter list (bare identifier or
+    *     parenthesized identifiers) directly following `(` or `,` of a
+    *     higher-order-function call is treated as a lambda (an arrow whose
+    *     RHS is neither a quoted key nor an integer never matches at all,
+    *     so `x -> x + 1` is naturally safe); the enclosing-call check keeps
+    *     accessors inside ordinary calls (`upper(j -> 'k')`) rewriting;
     *   - chained accessors (`props -> 'a' ->> 'b'`) need the rewritten
     *     `get_json_object(...)` call as the next LHS, so the LHS parse
     *     balances parens/brackets backwards and the whole rewrite runs to
-    *     fixpoint (each step consumes one arrow — guaranteed to terminate).
-    * Known limitation (documented): a lambda whose body is exactly a string
-    * literal or bare integer with a parenthesized parameter list, e.g.
-    * `(a, b) -> 1`, still reads as a JSON accessor. */
+    *     fixpoint (each step consumes one arrow — guaranteed to terminate). */
   private def rewriteArrowOps(sql: String): String = {
     var cur = sql
     var step = arrowStep(cur)
@@ -375,7 +390,14 @@ object GraftSql {
             while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
             val afterParenOrComma = p >= 0 && (sql.charAt(p) == '(' || sql.charAt(p) == ',')
             val bareIdent = lhs.nonEmpty && lhs.forall(c => c.isLetterOrDigit || c == '_')
-            val isLambda = rhsDigit && bareIdent && afterParenOrComma
+            // `(a, b)` parameter-list LHS of a would-be lambda
+            val parenParams = lhs.length >= 2 && lhs.head == '(' && lhs.last == ')' &&
+              lhs.substring(1, lhs.length - 1).split(",", -1).forall { s =>
+                val t = s.trim
+                t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_')
+              }
+            val isLambda = (bareIdent || parenParams) && afterParenOrComma &&
+              hofNames(enclosingCallName(sql, mask, p))
             if (!isLambda) {
               val path =
                 if (rhsQuoted) jsonPath(key).replace("'", "''")
@@ -429,10 +451,48 @@ object GraftSql {
     }
   }
 
+  /** Spark's higher-order functions — the only call contexts in which a
+    * `param -> body` arrow is a lambda rather than a JSON accessor. */
+  private val hofNames = Set(
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort")
+
+  /** Name of the call whose argument list contains position `p` (which
+    * points at `(` or `,`), lowercased; "" when not inside a call. */
+  private def enclosingCallName(sql: String, mask: Array[Boolean], p: Int): String = {
+    var openPos = -1
+    if (sql.charAt(p) == '(') openPos = p
+    else {
+      var depth = 0
+      var k = p - 1
+      while (k >= 0 && openPos < 0) {
+        val ch = sql.charAt(k)
+        if (!mask(k)) {
+          if (ch == ')' || ch == ']') depth += 1
+          else if (ch == '(' || ch == '[') {
+            if (depth == 0) openPos = k else depth -= 1
+          }
+        }
+        k -= 1
+      }
+    }
+    if (openPos <= 0) ""
+    else {
+      var w = openPos - 1
+      while (w >= 0 && sql.charAt(w).isWhitespace) w -= 1
+      val end = w + 1
+      while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_')) w -= 1
+      sql.substring(w + 1, end).toLowerCase
+    }
+  }
+
   // -- quantified comparisons -------------------------------------------------
 
   private val quantKw = """(?i)\b(ANY|ALL|SOME)\s*\(""".r
-  private val likeTail = """(?is).*\b(NOT\s+I?LIKE|NOT\s+RLIKE|I?LIKE|RLIKE)$""".r
+  // lazy .*? so the match starts at the EARLIEST tail — greedy .* backtracks
+  // from the end and would bind bare LIKE, never the NOT\s+LIKE alternative
+  private val likeTail = """(?is).*?\b(NOT\s+I?LIKE|NOT\s+RLIKE|I?LIKE|RLIKE)$""".r
 
   /** Quantified comparisons (reference: opteryx/managers/expression/
     * ops.py:254-290 — `x = ANY(arr)`, `x != ALL(arr)`, `x LIKE ANY(arr)`,
@@ -470,16 +530,21 @@ object GraftSql {
         while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
         val opEnd = p + 1
         var op: String = null
+        var opStart = -1
         for (o <- Seq("<=", ">=", "!=", "<>", "=", "<", ">") if op == null)
           if (opEnd >= o.length && sql.substring(opEnd - o.length, opEnd) == o &&
-            !(o == "=" && opEnd >= 2 && "<>!=".contains(sql.charAt(opEnd - 2)))) op = o
-        if (op == null) sql.substring(0, opEnd) match {
-          case likeTail(w) => op = w.toUpperCase.replaceAll("\\s+", " ")
-          case _ =>
+            !(o == "=" && opEnd >= 2 && "<>!=".contains(sql.charAt(opEnd - 2)))) {
+            op = o; opStart = opEnd - o.length
+          }
+        if (op == null) likeTail.findFirstMatchIn(sql.substring(0, opEnd)).foreach { mm =>
+          // normalize internal whitespace for dispatch, but keep the matched
+          // tail's real start — `NOT  LIKE` is longer than the normalized op
+          op = mm.group(1).toUpperCase.replaceAll("\\s+", " ")
+          opStart = mm.start(1)
         }
         if (op != null) {
           // ---- LHS operand before the operator
-          var l = opEnd - op.length - 1
+          var l = opStart - 1
           while (l >= 0 && sql.charAt(l).isWhitespace) l -= 1
           val lhsStart = operandStart(sql, mask, l)
           // ---- RHS: balanced paren group from the keyword's open paren
@@ -499,24 +564,89 @@ object GraftSql {
             val innerU = inner.toUpperCase
             val isSubquery = innerU.startsWith("SELECT") || innerU.startsWith("WITH")
             val existsQ = kw == "ANY" || kw == "SOME"
+            val likeFamily = op.endsWith("LIKE")
+            // Spark's native `LIKE ANY ('a%', 'b%')` pattern-list form: a
+            // top-level comma in a non-subquery RHS means it's not an array
+            // expression — leave it for Spark's parser.
+            def topLevelComma: Boolean = {
+              var depth = 0
+              var k = open + 1
+              while (k < close) {
+                val ch = sql.charAt(k)
+                if (!mask(k)) {
+                  if (ch == '(' || ch == '[') depth += 1
+                  else if (ch == ')' || ch == ']') depth -= 1
+                  else if (ch == ',' && depth == 0) return true
+                }
+                k += 1
+              }
+              false
+            }
+            // ANSI three-valued semantics over a subquery, with uncorrelated
+            // scalar subqueries only (Spark reuses the identical ones):
+            //   cnt = 0       → ALL is TRUE, ANY is FALSE (empty set)
+            //   lhs op ext    → decides when no NULLs interfere, where ext is
+            //                   the witness extremum (MAX for `> ALL`, MIN for
+            //                   `> ANY`, duals for `<`)
+            //   NULL elements → UNKNOWN whenever they could flip the result
+            def extremumCase(agg: String): String = {
+              val ext = s"(SELECT $agg(__v) FROM ($inner) AS __q(__v))"
+              val cnt = s"(SELECT COUNT(*) FROM ($inner) AS __q(__v))"
+              val nulls = s"(SELECT COUNT(*) - COUNT(__v) FROM ($inner) AS __q(__v))"
+              if (existsQ)
+                s"(CASE WHEN $cnt = 0 THEN FALSE" +
+                  s" WHEN $lhs $op $ext THEN TRUE" +
+                  s" WHEN $nulls > 0 THEN CAST(NULL AS BOOLEAN)" +
+                  s" WHEN NOT($lhs $op $ext) THEN FALSE" +
+                  s" ELSE CAST(NULL AS BOOLEAN) END)"
+              else
+                s"(CASE WHEN $cnt = 0 THEN TRUE" +
+                  s" WHEN NOT($lhs $op $ext) THEN FALSE" +
+                  s" WHEN $nulls > 0 THEN CAST(NULL AS BOOLEAN)" +
+                  s" WHEN $lhs $op $ext THEN TRUE" +
+                  s" ELSE CAST(NULL AS BOOLEAN) END)"
+            }
+            // = ALL / != ANY: a refuting element exists iff the non-null
+            // values aren't all equal to lhs — checkable via MIN and MAX.
+            def equalityCase(refuteWins: Boolean): String = {
+              val mn = s"(SELECT MIN(__v) FROM ($inner) AS __q(__v))"
+              val mx = s"(SELECT MAX(__v) FROM ($inner) AS __q(__v))"
+              val cnt = s"(SELECT COUNT(*) FROM ($inner) AS __q(__v))"
+              val nulls = s"(SELECT COUNT(*) - COUNT(__v) FROM ($inner) AS __q(__v))"
+              val (onEmpty, onRefute, onAllEqual) =
+                if (refuteWins) ("FALSE", "TRUE", "FALSE") // != ANY
+                else ("TRUE", "FALSE", "TRUE") // = ALL
+              s"(CASE WHEN $cnt = 0 THEN $onEmpty" +
+                s" WHEN ($lhs) IS NULL THEN CAST(NULL AS BOOLEAN)" +
+                s" WHEN $lhs <> $mn OR $lhs <> $mx THEN $onRefute" +
+                s" WHEN $nulls > 0 THEN CAST(NULL AS BOOLEAN)" +
+                s" ELSE $onAllEqual END)"
+            }
             val replacement: Option[String] =
               if (!isSubquery) {
-                val body = op match {
-                  case "ILIKE" => s"ilike($lhs, __x)"
-                  case "NOT ILIKE" => s"NOT ilike($lhs, __x)"
-                  case o => s"$lhs $o __x"
+                if (likeFamily && topLevelComma) None // native pattern list
+                else {
+                  val body = op match {
+                    case "ILIKE" => s"ilike($lhs, __x)"
+                    case "NOT ILIKE" => s"NOT ilike($lhs, __x)"
+                    case o => s"$lhs $o __x"
+                  }
+                  Some(if (existsQ) s"exists($inner, __x -> $body)"
+                  else s"forall($inner, __x -> $body)")
                 }
-                Some(if (existsQ) s"exists($inner, __x -> $body)"
-                else s"forall($inner, __x -> $body)")
               } else (op, existsQ) match {
                 case ("=", true) => Some(s"$lhs IN ($inner)")
                 case ("!=", false) | ("<>", false) => Some(s"$lhs NOT IN ($inner)")
                 case (">", _) | (">=", _) | ("<", _) | ("<=", _) =>
-                  // > ANY(S) ⇔ lhs > min(S); > ALL(S) ⇔ lhs > max(S); dual for <
+                  // witness extremum: > ANY(S) needs min(S); > ALL(S) max(S)
                   val wantMin = (op.startsWith(">") && existsQ) || (op.startsWith("<") && !existsQ)
-                  val agg = if (wantMin) "MIN" else "MAX"
-                  Some(s"$lhs $op (SELECT $agg(__v) FROM ($inner) AS __q(__v))")
-                case _ => None // = ALL / != ANY subquery forms: unsupported
+                  Some(extremumCase(if (wantMin) "MIN" else "MAX"))
+                case ("=", false) => Some(equalityCase(refuteWins = false))
+                case ("!=", true) | ("<>", true) => Some(equalityCase(refuteWins = true))
+                case _ =>
+                  throw new IllegalArgumentException(
+                    s"Unsupported quantified comparison `$op $kw (SELECT ...)` — " +
+                      "LIKE-family quantifiers take an array or pattern-list RHS, not a subquery")
               }
             replacement.foreach { rep =>
               return Some(sql.substring(0, lhsStart) + rep + sql.substring(close + 1))

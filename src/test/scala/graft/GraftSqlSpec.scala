@@ -233,6 +233,66 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(g.query("SELECT '0x1F and 1_000' AS v").head().getString(0) == "0x1F and 1_000")
   }
 
+  test("numeric literal edges: hex overflow surfaces as SQL error, backticked names untouched") {
+    // > Long.MaxValue: the rewriter must leave the token for Spark to report,
+    // not throw NumberFormatException out of the shim
+    val err = intercept[Exception](g.query("SELECT 0xFFFFFFFFFFFFFFFF AS v").collect())
+    assert(!err.isInstanceOf[NumberFormatException], s"leaked: $err")
+    // digit-leading backtick-quoted identifiers keep their underscores
+    assert(g.query("SELECT `1_2` AS v FROM (SELECT 42 AS `1_2`)")
+      .head().getAs[Number](0).longValue == 42L)
+  }
+
+  test("lambda arrows with literal bodies stay lambdas; accessors in plain calls still rewrite") {
+    // string-literal lambda body inside a higher-order function (ADVICE r2)
+    assert(g.query("SELECT transform(array(1, 2), x -> 'tag') AS a")
+      .head().getSeq[String](0) == Seq("tag", "tag"))
+    // integer lambda body with a parenthesized parameter list
+    assert(g.query("SELECT aggregate(array(1, 2), 0, (acc, x) -> 7) AS v")
+      .head().getInt(0) == 7)
+    // bare identifier after '(' in a NON-higher-order call is an accessor
+    assert(g.query("SELECT length(j ->> 'k') AS v FROM (SELECT '{\"k\": \"abc\"}' AS j)")
+      .head().getInt(0) == 3)
+    // integer-subscript accessor directly inside coalesce
+    assert(g.query("SELECT coalesce(j -> 0, 'x') AS v FROM (SELECT '[5, 6]' AS j)")
+      .head().getString(0) == "5")
+  }
+
+  test("quantified LIKE: multi-space NOT LIKE, native pattern lists preserved") {
+    // 'NOT  LIKE' (double space) must not corrupt the rewritten lambda
+    assert(g.query("SELECT 'abc' NOT  LIKE ALL(array('z%', 'q%')) AS v")
+      .head().getBoolean(0))
+    // Spark's native pattern-list form is not an array RHS — left alone
+    assert(g.query("SELECT 'hello' LIKE ANY ('z%', 'h%') AS v").head().getBoolean(0))
+    assert(!g.query("SELECT 'hello' LIKE ALL ('z%', 'h%') AS v").head().getBoolean(0))
+    // LIKE-family over a subquery is rejected with a clear message
+    val e = intercept[IllegalArgumentException](
+      g.query("SELECT 'x' LIKE ANY (SELECT n_name FROM nation) AS v"))
+    assert(e.getMessage.contains("LIKE-family"))
+  }
+
+  test("quantified subqueries: ANSI NULL and empty-set semantics") {
+    def one(sql: String): org.apache.spark.sql.Row = g.query(sql).head()
+    // empty set: ALL → TRUE, ANY → FALSE
+    assert(one("SELECT 5 > ALL (SELECT v FROM (SELECT 1 AS v) WHERE v > 10) AS r").getBoolean(0))
+    assert(!one("SELECT 5 > ANY (SELECT v FROM (SELECT 1 AS v) WHERE v > 10) AS r").getBoolean(0))
+    // NULL element flips a would-be TRUE into UNKNOWN, but a refute still wins
+    assert(one("SELECT 5 > ALL (SELECT * FROM VALUES (1), (NULL) AS t(v)) AS r").isNullAt(0))
+    assert(!one("SELECT 0 > ALL (SELECT * FROM VALUES (1), (NULL) AS t(v)) AS r").getBoolean(0))
+    assert(one("SELECT 5 > ANY (SELECT * FROM VALUES (1), (NULL) AS t(v)) AS r").getBoolean(0))
+    assert(one("SELECT 0 > ANY (SELECT * FROM VALUES (1), (NULL) AS t(v)) AS r").isNullAt(0))
+    // NULL lhs over a non-empty set is UNKNOWN
+    assert(one("SELECT CAST(NULL AS INT) > ALL (SELECT * FROM VALUES (1) AS t(v)) AS r").isNullAt(0))
+    // = ALL / != ANY forms (previously unsupported)
+    assert(one("SELECT 3 = ALL (SELECT * FROM VALUES (3), (3) AS t(v)) AS r").getBoolean(0))
+    assert(!one("SELECT 3 = ALL (SELECT * FROM VALUES (3), (4) AS t(v)) AS r").getBoolean(0))
+    assert(one("SELECT 3 = ALL (SELECT v FROM (SELECT 1 AS v) WHERE v > 10) AS r").getBoolean(0))
+    assert(one("SELECT 3 = ALL (SELECT * FROM VALUES (3), (NULL) AS t(v)) AS r").isNullAt(0))
+    assert(one("SELECT 3 != ANY (SELECT * FROM VALUES (3), (4) AS t(v)) AS r").getBoolean(0))
+    assert(!one("SELECT 3 != ANY (SELECT * FROM VALUES (3), (3) AS t(v)) AS r").getBoolean(0))
+    assert(!one("SELECT 3 != ANY (SELECT v FROM (SELECT 1 AS v) WHERE v > 10) AS r").getBoolean(0))
+  }
+
   test("cast spellings: SAFE_CAST, bare VARCHAR, BLOB, EXTRACT(EPOCH)") {
     assert(g.query("SELECT SAFE_CAST('abc' AS INT) AS v").head().isNullAt(0))
     assert(g.query("SELECT CAST(42 AS VARCHAR) AS v").head().getString(0) == "42")
