@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * tasks, same non-splittable granularity as the reference's zstd decoder.
   * feather (v2) / arrow / ipc ride the bundled arrow-vector ArrowFileReader
   * — one task per file (IPC record batches aren't split further; fine for
-  * the interchange-file role these formats play). xlsx/vortex: no reader
-  * jar in this environment — unsupported, as documented in SURVEY.md §2.5.
+  * the interchange-file role these formats play). xlsx is decoded with the
+  * JDK alone (ZipInputStream + StAX, [[readXlsx]]) — first sheet, header
+  * row, typed flat columns, matching the reference's decoder scope.
+  * vortex: no reader jar in this environment — unsupported, as documented
+  * in SURVEY.md §2.5.
   */
 object Formats {
 
@@ -44,7 +47,187 @@ object Formats {
     else if (lower.endsWith(".avro")) readAvro(spark, path)
     else if (lower.endsWith(".feather") || lower.endsWith(".arrow")
       || lower.endsWith(".ipc")) readArrowIpc(spark, path)
+    else if (lower.endsWith(".xlsx")) readXlsx(spark, path)
     else sys.error(s"unsupported format for $path (see SURVEY.md §2.5)")
+  }
+
+  // ---------------------------------------------------------------- xlsx
+
+  /** xlsx workbooks via the JDK only (java.util.zip + StAX) — no POI-style
+    * reader jar exists in this environment, but the OOXML subset the
+    * reference's decoder handles (file_decoders.py xlsx entry: first sheet,
+    * header row, flat strings/numbers/booleans) needs none. Reads shared
+    * strings plus the first `xl/worksheets/sheet*.xml`; first row is the
+    * header; columns are typed LONG / DOUBLE / BOOLEAN when every non-null
+    * cell agrees, STRING otherwise. Like the reference, the file is decoded
+    * whole (spreadsheets are interchange files, not data lakes); rows are
+    * then parallelized so downstream plan work is distributed. */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+    val fs = FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val bytes = {
+      val in = fs.open(new HPath(path))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64 * 1024)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    }
+
+    def entryBytes(pred: String => Boolean): Option[(String, Array[Byte])] = {
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        var best: Option[(String, Array[Byte])] = None
+        var e = zin.getNextEntry
+        while (e != null) {
+          if (pred(e.getName) && best.forall(_._1 > e.getName)) {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](64 * 1024)
+            var n = zin.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+            best = Some(e.getName -> buf.toByteArray)
+          }
+          e = zin.getNextEntry
+        }
+        best
+      } finally zin.close()
+    }
+
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+
+    // shared-strings table (optional; <si> items may be split into runs)
+    val shared: IndexedSeq[String] = entryBytes(_ == "xl/sharedStrings.xml").map { case (_, b) =>
+      val r = factory.createXMLStreamReader(new java.io.ByteArrayInputStream(b), "UTF-8")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new java.lang.StringBuilder
+      var inT = false
+      var depth = 0
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "si" => cur.setLength(0); depth += 1
+                case "t" => inT = true
+                case _ =>
+              }
+            case XMLStreamConstants.CHARACTERS if inT => cur.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "si" => out += cur.toString
+                case "t" => inT = false
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+      } finally r.close()
+      out.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+    // worksheet cells → rows of (colIndex -> raw cell)
+    sealed trait Cell
+    case class NumCell(v: Double) extends Cell
+    case class BoolCell(v: Boolean) extends Cell
+    case class StrCell(v: String) extends Cell
+
+    val sheet = entryBytes(n => n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml"))
+      .getOrElse(sys.error(s"no worksheet found in $path"))._2
+    val rows = {
+      val r = factory.createXMLStreamReader(new java.io.ByteArrayInputStream(sheet), "UTF-8")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Map[Int, Cell]]
+      var row = Map.empty[Int, Cell]
+      var cellCol = -1
+      var cellType = "n"
+      var nextCol = 0
+      val text = new java.lang.StringBuilder
+      var capture = false
+      def colOf(ref: String): Int = {
+        var c = 0
+        var i = 0
+        while (i < ref.length && ref.charAt(i).isLetter) {
+          c = c * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+        }
+        c - 1
+      }
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+              case "row" => row = Map.empty; nextCol = 0
+              case "c" =>
+                val ref = Option(r.getAttributeValue(null, "r"))
+                cellCol = ref.map(colOf).getOrElse(nextCol)
+                nextCol = cellCol + 1
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              case "v" | "t" => capture = true; text.setLength(0)
+              case _ =>
+            }
+            case XMLStreamConstants.CHARACTERS if capture => text.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+              case "v" | "t" =>
+                capture = false
+                val raw = text.toString
+                val cell: Option[Cell] = cellType match {
+                  case "s" => raw.toIntOption.flatMap(shared.lift).map(StrCell.apply)
+                  case "b" => Some(BoolCell(raw.trim == "1"))
+                  case "str" | "inlineStr" => Some(StrCell(raw))
+                  case _ => raw.trim.toDoubleOption.map(NumCell.apply).orElse(Some(StrCell(raw)))
+                }
+                // inlineStr wraps <is><t>; both END(t) paths land here once
+                if (cellCol >= 0) cell.foreach(c => row = row.updated(cellCol, c))
+              case "row" => out += row
+              case _ =>
+            }
+            case _ =>
+          }
+        }
+      } finally r.close()
+      out.toVector
+    }
+    if (rows.isEmpty) sys.error(s"empty worksheet in $path")
+
+    val nCols = rows.iterator.flatMap(_.keys).max + 1
+    def asString(c: Cell): String = c match {
+      case NumCell(v) => if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+      case BoolCell(v) => v.toString
+      case StrCell(v) => v
+    }
+    val header = (0 until nCols).map(i => rows.head.get(i).map(asString).getOrElse(s"col_$i"))
+    val body = rows.tail
+    def colCells(i: Int) = body.iterator.flatMap(_.get(i))
+    val types: IndexedSeq[DataType] = (0 until nCols).map { i =>
+      val cells = colCells(i).toVector
+      if (cells.isEmpty) StringType
+      else if (cells.forall { case NumCell(v) => v == math.rint(v) && math.abs(v) < 1e15; case _ => false })
+        LongType
+      else if (cells.forall(_.isInstanceOf[NumCell])) DoubleType
+      else if (cells.forall(_.isInstanceOf[BoolCell])) BooleanType
+      else StringType
+    }
+    val schema = StructType((0 until nCols).map(i =>
+      StructField(header(i), types(i), nullable = true)))
+    val data = body.map { m =>
+      Row.fromSeq((0 until nCols).map { i =>
+        m.get(i).map { c =>
+          (types(i), c) match {
+            case (LongType, NumCell(v)) => v.toLong
+            case (DoubleType, NumCell(v)) => v
+            case (BooleanType, BoolCell(v)) => v
+            case (_, cell) => asString(cell)
+          }
+        }.orNull
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, math.min(data.size / 10000, 32))),
+      schema)
   }
 
   // ---------------------------------------------------------------- jsonl+zstd
@@ -175,12 +358,15 @@ object Formats {
       val bytes = stream.toArray()
       withIpcReader(bytes) { reader =>
         val root = reader.getVectorSchemaRoot
+        val fields = root.getSchema.getFields
+        val converters =
+          (0 until fields.size).map(i => arrowConverter(fields.get(i).getType))
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         while (reader.loadNextBatch()) {
-          val vectors = (0 until root.getSchema.getFields.size).map(root.getVector)
+          val vectors = (0 until fields.size).map(root.getVector)
           var i = 0
           while (i < root.getRowCount) {
-            out += Row.fromSeq(vectors.map(v => arrowValue(v.getObject(i))))
+            out += Row.fromSeq(vectors.indices.map(c => converters(c)(vectors(c).getObject(i))))
             i += 1
           }
         }
@@ -211,7 +397,8 @@ object Formats {
       case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
       case _: ArrowType.Bool => BooleanType
       case _: ArrowType.Date => DateType
-      case _: ArrowType.Timestamp => TimestampNTZType
+      case ts: ArrowType.Timestamp =>
+        if (ts.getTimezone == null) TimestampNTZType else TimestampType
       case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
       case other => sys.error(s"unsupported arrow type $other (flat primitives only)")
     }
@@ -219,7 +406,52 @@ object Formats {
       StructField(f.getName, fieldType(f.getType), f.isNullable)).toSeq)
   }
 
-  private def arrowValue(v: Any): Any = v match {
+  /** Per-column value converter from the arrow vector's `getObject` result to
+    * the Row external type for [[arrowToSpark]]'s mapping. Sub-32-bit int
+    * vectors hand back Byte/Short (the IntegerType encoder rejects them), and
+    * tz-aware timestamp vectors hand back epoch Longs in the column's unit. */
+  private def arrowConverter(t: org.apache.arrow.vector.types.pojo.ArrowType): Any => Any = {
+    import org.apache.arrow.vector.types.pojo.ArrowType
+    import org.apache.arrow.vector.types.TimeUnit
+    t match {
+      case i: ArrowType.Int if i.getBitWidth <= 32 => {
+        case null => null
+        case n: java.lang.Number => Int.box(n.intValue)
+        case other => other
+      }
+      case _: ArrowType.Int => {
+        case null => null
+        case n: java.lang.Number => Long.box(n.longValue)
+        case other => other
+      }
+      case ts: ArrowType.Timestamp if ts.getTimezone != null =>
+        val unit = ts.getUnit
+        locally {
+          case null => null
+          case l: java.lang.Long =>
+            val instant = unit match {
+              case TimeUnit.SECOND => java.time.Instant.ofEpochSecond(l)
+              case TimeUnit.MILLISECOND => java.time.Instant.ofEpochMilli(l)
+              case TimeUnit.MICROSECOND => java.time.Instant.ofEpochSecond(
+                Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
+              case TimeUnit.NANOSECOND => java.time.Instant.ofEpochSecond(
+                Math.floorDiv(l, 1000000000L), Math.floorMod(l, 1000000000L))
+            }
+            java.sql.Timestamp.from(instant)
+          case other => other
+        }
+      case _: ArrowType.Date => {
+        case null => null
+        case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+        // DateMilliVector hands back LocalDateTime
+        case d: java.time.LocalDateTime => java.sql.Date.valueOf(d.toLocalDate)
+        case other => other
+      }
+      case _ => arrowValue
+    }
+  }
+
+  private val arrowValue: Any => Any = {
     case t: org.apache.arrow.vector.util.Text => t.toString
     case d: java.time.LocalDateTime => d // TimestampNTZ external type
     case d: java.time.LocalDate => java.sql.Date.valueOf(d)

@@ -128,6 +128,82 @@ class FormatsSpec extends AnyFunSuite {
     assert(canon(Formats.read(spark, s"$tmp/nation.ipc")) == expected)
   }
 
+  test("feather: tinyint/smallint and tz-aware timestamp columns decode") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{SmallIntVector, TinyIntVector, TimeStampMicroTZVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.TimeUnit
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    val fields = List(
+      new Field("i8", FieldType.nullable(new ArrowType.Int(8, true)), null),
+      new Field("i16", FieldType.nullable(new ArrowType.Int(16, true)), null),
+      new Field("ts", FieldType.nullable(
+        new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")), null))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(new ASchema(fields.asJava), alloc)
+    val i8 = root.getVector(0).asInstanceOf[TinyIntVector]
+    val i16 = root.getVector(1).asInstanceOf[SmallIntVector]
+    val ts = root.getVector(2).asInstanceOf[TimeStampMicroTZVector]
+    root.allocateNew()
+    i8.setSafe(0, 7); i16.setSafe(0, 300)
+    ts.setSafe(0, 1700000000000000L) // 2023-11-14T22:13:20Z in micros
+    i8.setNull(1); i16.setNull(1); ts.setNull(1)
+    root.setRowCount(2)
+    val out = s"$tmp/narrow.feather"
+    val ch = new java.io.FileOutputStream(out).getChannel
+    val w = new ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+    root.close(); alloc.close()
+
+    val df = Formats.read(spark, out)
+    assert(df.schema("i8").dataType == IntegerType)
+    assert(df.schema("i16").dataType == IntegerType)
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.orderBy("i8").collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(1).getInt(0) == 7 && got(1).getInt(1) == 300)
+    assert(got(1).getTimestamp(2).toInstant ==
+      java.time.Instant.ofEpochSecond(1700000000L))
+  }
+
+  test("xlsx: shared strings, inline strings, typed columns, sparse cells") {
+    // hand-built workbook: the OOXML subset readXlsx targets (shared-string
+    // header + mixed shared/inline/number/boolean cells, one missing cell)
+    val sharedXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="5" uniqueCount="5">
+        |<si><t>name</t></si><si><t>qty</t></si><si><t>price</t></si><si><t>ok</t></si>
+        |<si><r><t>sp</t></r><r><t>lit</t></r></si>
+        |</sst>""".stripMargin
+    val sheetXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>4</v></c><c r="B2"><v>3</v></c><c r="C2"><v>1.5</v></c><c r="D2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>plain</t></is></c><c r="B3"><v>40</v></c><c r="D3" t="b"><v>0</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val out = s"$tmp/book.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(out))
+    for ((name, content) <- Seq(
+      "xl/sharedStrings.xml" -> sharedXml, "xl/worksheets/sheet1.xml" -> sheetXml)) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+
+    val df = Formats.read(spark, out)
+    assert(df.columns.toSeq == Seq("name", "qty", "price", "ok"))
+    assert(df.schema("qty").dataType == LongType)
+    assert(df.schema("price").dataType == DoubleType)
+    assert(df.schema("ok").dataType == BooleanType)
+    val rows = df.orderBy("qty").collect()
+    assert(rows(0).getString(0) == "split") // multi-run shared string
+    assert(rows(0).getLong(1) == 3L && rows(0).getDouble(2) == 1.5 && rows(0).getBoolean(3))
+    assert(rows(1).getString(0) == "plain" && rows(1).isNullAt(2) && !rows(1).getBoolean(3))
+  }
+
   test("normalize: missing columns null-filled, extras dropped, types cast") {
     val target = StructType(Seq(
       StructField("n_nationkey", LongType), StructField("n_name", StringType),
