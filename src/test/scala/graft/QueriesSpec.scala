@@ -11,7 +11,9 @@ class QueriesSpec extends AnyFunSuite {
   // Pair-emitting dedup queries may legitimately return zero rows on tiny
   // synthetic data; everything else must return at least one row.
   private val mayBeEmpty = Set("p02_dedup_minhash", "p04_dedup_jaccard",
-    "p05_dedup_embedding", "p17_dedup_jaccard_capped", "q71_tpch_q22") // every sf0.001 customer has orders
+    "p05_dedup_embedding", "p17_dedup_jaccard_capped",
+    "p18_dedup_components", "p20_contamination", // pair/overlap-emitting — may be empty on tiny data
+    "q71_tpch_q22") // every sf0.001 customer has orders
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs and is well-formed") {
