@@ -22,14 +22,22 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only.exists(k.startsWith) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      // Warm-query timing (BASELINE.md): one untimed pass per query absorbs
+      // Janino whole-stage-codegen compilation and JIT — one-time costs the
+      // reference's precompiled kernels never pay per statement, and exactly
+      // what its ClickBench harness amortizes by looping statements inside a
+      // session. The timed pass is the steady-state cost that scales with
+      // data.
       // noop sink forces full materialization of every column (count() would
       // let Catalyst prune the projections we mean to measure).
       // A failed query records -1, never its time-until-throw — a broken
       // query must not read as a fast success in the bench JSON.
-      val ok =
+      def once(): Boolean =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
+      val warmOk = once()
+      val t0 = System.nanoTime()
+      val ok = warmOk && once()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

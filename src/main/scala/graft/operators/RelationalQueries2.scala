@@ -191,7 +191,7 @@ object RelationalQueries2 {
       SELECT l_returnflag, l_linestatus,
              CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
              CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
-             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
              count(*) AS n
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag, l_linestatus""")) { (s, dir) =>
@@ -200,7 +200,7 @@ object RelationalQueries2 {
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"),
-          dsum(col("l_quantity")).as("sum_qty"),
+          RelationalQueries.fsum(col("l_quantity"), 0).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"), col("g_ls"),
           col("sum_qty"), col("n"))
@@ -213,7 +213,7 @@ object RelationalQueries2 {
              CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
              CAST(grouping(o_orderpriority) AS INTEGER) AS g_pr,
              count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus, o_orderpriority""")) { (s, dir) =>
       Tables.df(s, dir, "orders")
@@ -222,7 +222,7 @@ object RelationalQueries2 {
           grouping(col("o_orderstatus")).cast("int").as("g_st"),
           grouping(col("o_orderpriority")).cast("int").as("g_pr"),
           count(lit(1)).as("n"),
-          dsum(col("o_totalprice")).as("sum_price"))
+          RelationalQueries.fsum(col("o_totalprice"), 2).as("sum_price"))
         .select(col("o_orderstatus"), col("o_orderpriority"), col("g_st"), col("g_pr"),
           col("n"), col("sum_price"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -313,7 +313,7 @@ object RelationalQueries2 {
     // customer dim; top-10 via TakeOrderedAndProject (no full sort).
     QueryDef("q55_tpch_q3", Some("""
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -330,7 +330,7 @@ object RelationalQueries2 {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(RelationalQueries.fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -357,9 +357,9 @@ object RelationalQueries2 {
     // deferred to doubles so both engines round identically.
     QueryDef("q57_tpch_q14", Some("""
       SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-               THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))
-               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4)
+               THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE), 4)
              AS promo_share,
              count(*) AS n
       FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -369,11 +369,11 @@ object RelationalQueries2 {
         .filter(col("l_shipdate") >= ts("1997-09-01 00:00:00")
           && col("l_shipdate") < ts("1997-10-01 00:00:00"))
       val p = Tables.df(s, dir, "part")
-      val rev = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .agg(
           round(lit(100.0) *
-            sum(when(col("p_type").like("PROMO%"), rev).otherwise(dec(lit(0)))).cast("double")
+            sum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0L))).cast("double")
             / sum(rev).cast("double"), 4).as("promo_share"),
           count(lit(1)).as("n"))
     },
@@ -405,7 +405,7 @@ object RelationalQueries2 {
 
     // Q19 shape: OR-of-ANDs bracket predicates over a broadcast part join.
     QueryDef("q59_tpch_q19", Some("""
-      SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
              count(*) AS n
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -418,14 +418,14 @@ object RelationalQueries2 {
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) && col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) && col("l_quantity").between(20, 30)))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        .agg(RelationalQueries.fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
           count(lit(1)).as("n"))
     },
 
     // Q10 shape: returned-item revenue by customer — date-windowed, top 20.
     QueryDef("q60_tpch_q10", Some("""
       SELECT c_custkey, c_name, n_name,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -445,7 +445,7 @@ object RelationalQueries2 {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(RelationalQueries.fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
@@ -454,7 +454,7 @@ object RelationalQueries2 {
     // lineitem⋈orders shuffles — part/supplier/nation broadcast).
     QueryDef("q61_tpch_q9", Some("""
       SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS profit
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS profit
       FROM lineitem
       JOIN part ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -472,7 +472,7 @@ object RelationalQueries2 {
         .join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("int").as("o_year"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("profit"))
+        .agg(RelationalQueries.fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("profit"))
         .orderBy(col("n_name"), col("o_year").desc)
     },
 

@@ -52,7 +52,7 @@ object TpchQueries {
     // broadcast dims), symmetric OR condition.
     QueryDef("q67_tpch_q7", Some("""
       SELECT supp_nation, cust_nation, l_year,
-             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
       FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -84,7 +84,7 @@ object TpchQueries {
           || (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("int").as("l_year"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(RelationalQueries.fsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
@@ -94,11 +94,11 @@ object TpchQueries {
     QueryDef("q68_tpch_q8", Some("""
       SELECT o_year,
              round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
-                                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                                 ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
                    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
       FROM (
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS volume,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT) AS volume,
                n_name AS nation
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
@@ -112,7 +112,7 @@ object TpchQueries {
       val sup = Tables.df(s, dir, "supplier")
       val n = Tables.df(s, dir, "nation")
       val o = Tables.df(s, dir, "orders")
-      val volume = dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val volume = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
@@ -121,7 +121,7 @@ object TpchQueries {
           volume.as("volume"), col("n_name").as("nation"))
         .groupBy(col("o_year"))
         .agg(round(
-          sum(when(col("nation") === "NATION_5", col("volume")).otherwise(dec(lit(0))))
+          sum(when(col("nation") === "NATION_5", col("volume")).otherwise(lit(0L)))
             .cast("double") / sum(col("volume")).cast("double"), 6).as("mkt_share"))
         .orderBy(col("o_year"))
     },
@@ -131,12 +131,12 @@ object TpchQueries {
     QueryDef("q69_tpch_q15", Some("""
       WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+               sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY l_suppkey)
-      SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      SELECT s_suppkey, s_name, CAST(total_revenue AS BIGINT) / 10000.0 AS total_revenue
       FROM supplier JOIN revenue ON s_suppkey = supplier_no
       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       ORDER BY s_suppkey""")) { (s, dir) =>
@@ -144,7 +144,7 @@ object TpchQueries {
         .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
           && col("l_shipdate") < ts("1997-04-01 00:00:00"))
       val revenue = li.groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)))
           .as("total_revenue"))
       // global max via an unpartitioned window over the AGGREGATED set (one
       // row per supplier — small even at 100 TB): lineitem is scanned once,
@@ -155,9 +155,9 @@ object TpchQueries {
       val sup = Tables.df(s, dir, "supplier")
       sup.join(withMax, sup("s_suppkey") === withMax("supplier_no"))
         .filter(col("total_revenue") === col("mx"))
-        // max-comparison stays decimal-exact; only the emitted column is DOUBLE
+        // max-comparison stays fixed-point-exact; only the emitted column is DOUBLE
         .select(col("s_suppkey"), col("s_name"),
-          col("total_revenue").cast("double").as("total_revenue"))
+          (col("total_revenue") / 10000.0).as("total_revenue"))
         .orderBy(col("s_suppkey"))
     },
 
@@ -165,7 +165,7 @@ object TpchQueries {
     // scalar subquery, decorrelated to a per-part aggregate join (the plan
     // Spark produces for the correlated spelling too).
     QueryDef("q70_tpch_q17", Some("""
-      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 4)
+      SELECT round(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / 7.0, 4)
                AS avg_yearly,
              count(*) AS n
       FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -180,7 +180,7 @@ object TpchQueries {
         .join(perPart, li("l_partkey") === col("ap_key"))
         .filter(col("l_quantity") < col("qty_cap"))
         .agg(
-          round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 4).as("avg_yearly"),
+          round(RelationalQueries.fsum(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"),
           count(lit(1)).as("n"))
     },
 
@@ -189,7 +189,7 @@ object TpchQueries {
     // collected to the driver) + null-preserving anti join.
     QueryDef("q71_tpch_q22", Some("""
       SELECT c_nationkey, count(*) AS numcust,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+             CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS totacctbal
       FROM customer
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -202,7 +202,7 @@ object TpchQueries {
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), RelationalQueries.fsum(col("c_acctbal"), 2).as("totacctbal"))
         .orderBy(col("c_nationkey"))
     },
 
@@ -214,7 +214,7 @@ object TpchQueries {
     // filter pushed into the join condition.
     QueryDef("q83_tpch_q5", Some("""
       SELECT n_name,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -239,7 +239,7 @@ object TpchQueries {
         .filter(col("r_name") === "ASIA"
           && col("o_orderdate") >= lit(java.sql.Date.valueOf("1994-01-01")))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(RelationalQueries.fsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
