@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Functions, QueryDef, Tables}
+
+/** Pipeline coverage batch 4 — the remaining curation stages of a 100-TB
+  * training-data pipeline: semantic (embedding-space) dedup on the bucketed
+  * scale path, span-level duplicated-text measurement, corpus-LM quality
+  * scoring, bloom-prefiltered incremental ingestion, and per-source language
+  * mix auditing.
+  *
+  * Scale notes are per-query; none of these plans contains an all-pairs
+  * join on the corpus side, a driver-side row collect, or an unbounded
+  * window over a hot key.
+  */
+object PipelineQueries4 {
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------ semantic dedup
+
+    // Embedding-space near-dup detection on the bucketed scale path: vectors
+    // are assigned to their 2 nearest coarse-quantizer cells (multi-probe
+    // assignment so near-dups straddling a cell boundary still collide), and
+    // cosine is evaluated over same-cell pairs only — |corpus|²/k instead of
+    // |corpus|² candidate pairs. p05 is this query's exact all-pairs
+    // verification baseline.
+    //
+    // Scale shape: centroids broadcast (tiny by construction); assignment
+    // shuffles only (vec_id, cent_id) tuples; the pair join is an equi-join
+    // on the cell id; rerank joins fetch vectors by key. With k-means-trained
+    // centroids (IvfIndex.trainCentroids) the identical plan holds at 100 TB.
+    QueryDef("p23_semantic_dedup", Some("""
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+      assign AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT e.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+                            c.cent_id) AS rn
+          FROM embeddings e, cents c) t WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assign a JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b,
+             round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cos
+      FROM cand
+      JOIN embeddings x ON x.vec_id = vec_a
+      JOIN embeddings y ON y.vec_id = vec_b
+      WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
+      ORDER BY vec_a, vec_b""")) { (s, dir) =>
+      val e = Tables.df(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val cosAssign = Functions.cosineSimilarity(col("embedding"), col("cvec"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(cosAssign.desc, col("cent_id"))
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2).drop("rn")
+      val cand = assign.alias("a").join(assign.alias("b"),
+          col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val x = e.select(col("vec_id").as("vec_a"), col("embedding").as("xv"))
+      val y = e.select(col("vec_id").as("vec_b"), col("embedding").as("yv"))
+      val cos = Functions.cosineSimilarity(col("xv"), col("yv"))
+      cand.join(x, "vec_a").join(y, "vec_b")
+        .filter(cos >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round(cos, 6).as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ------------------------------------------------------- span-level dup
+
+    // Duplicated-span measurement (the suffix-array-dedup approximation used
+    // on web corpora): 10-token windows at stride 5, hashed; a span is
+    // duplicated if any other document contains it; per-document output is
+    // the fraction of its spans that are duplicated — the signal used to
+    // drop or trim boilerplate-heavy documents.
+    //
+    // Scale shape: span hashing is map-only; the per-span document count is
+    // one partial-aggregated groupBy on the hash (hot boilerplate spans are
+    // absorbed map-side); the flag join back is an equi-join on the hash
+    // with AQE skew splitting. No windows, no all-pairs.
+    QueryDef("p24_span_dedup", Some("""
+      WITH tt AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      sp AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 9, 0) + 1, 5),
+                      i -> md5(array_to_string(t[i:i+9], ' ')))) AS h
+        FROM tt WHERE len(t) >= 10),
+      cnt AS (SELECT h, count(*) AS nd FROM sp GROUP BY h)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(count(*) FILTER (WHERE nd >= 2) AS BIGINT) AS dup_spans,
+             round(CAST(count(*) FILTER (WHERE nd >= 2) AS DOUBLE) / count(*), 6) AS dup_fraction
+      FROM sp JOIN cnt USING (h)
+      GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val tt = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 10)
+      val sp = tt.select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - 9, lit(5)),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(10))))))).as("h"))
+      val cnt = sp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      val dup = count(when(col("nd") >= 2, 1))
+      sp.join(cnt, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          dup.as("dup_spans"),
+          round(dup.cast("double") / count(lit(1)), 6).as("dup_fraction"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------- corpus-LM scoring
+
+    // Unigram language-model quality score: every document scored by the
+    // mean log-probability of its tokens under the corpus unigram
+    // distribution — the cheap tier of perplexity filtering (CCNet-style),
+    // where out-of-vocabulary tokens get a 0.5-count floor.
+    //
+    // Scale shape: term frequencies are one partial-aggregated groupBy on
+    // the token; the scoring vocabulary is capped to the top-1000 tokens via
+    // TakeOrdered (no single-partition global window) and BROADCAST, so
+    // scoring is a map-side broadcast-hash-join — the corpus is never
+    // shuffled by token. The corpus token total rides along as a broadcast
+    // 1-row cross join, not a driver collect.
+    QueryDef("p25_unigram_lm", Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+      tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT sum(c) AS n FROM tf),
+      top AS (SELECT tok, c FROM (
+        SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM tf) t
+        WHERE rn <= 1000)
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(coalesce(top.c, 0.5) / tot.n)), 6) AS avg_logp
+      FROM toks t LEFT JOIN top ON t.tok = top.tok CROSS JOIN tot
+      GROUP BY t.doc_id ORDER BY t.doc_id""")) { (s, dir) =>
+      val toksDf = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val tf = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("n"))
+      val top = tf.orderBy(col("c").desc, col("tok")).limit(1000)
+      toksDf.join(broadcast(top), Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(coalesce(col("c"), lit(0.5)) / col("n"))), 6).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -------------------------------------------- incremental ingestion
+
+    // Incremental dedup against an already-ingested snapshot: new-batch
+    // documents whose content hash is not in the snapshot (within-batch
+    // duplicates collapsed to the lowest doc_id). The batch is prefiltered
+    // with a bloom filter built distributed over the snapshot — rows the
+    // bloom rejects are PROVABLY new and skip the confirm join entirely;
+    // only the (mightContain) sliver is exactly confirmed with an anti-join,
+    // so false positives cannot leak into the output.
+    //
+    // Scale shape: the bloom build is a treeAggregate (no row collect; the
+    // bit array is size-bounded by construction — at larger snapshot counts
+    // raise expectedNumItems or shard by hash prefix); the confirm anti-join
+    // sees only the bloom-positive fraction (~fpp of the genuinely-new rows
+    // plus the true dups) instead of the whole batch. This mirrors Spark's
+    // own runtime bloom-filter join pushdown, applied cross-snapshot.
+    QueryDef("p26_bloom_incremental", Some("""
+      WITH snap AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+      batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0)
+      SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, h
+      FROM batch WHERE h NOT IN (SELECT h FROM snap)
+      GROUP BY h ORDER BY doc_id""")) { (s, dir) =>
+      val withH = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val snap = withH.filter(col("doc_id") % 3 === 0).select(col("h"))
+      val batch = withH.filter(col("doc_id") % 3 =!= 0)
+      val bf = snap.stat.bloomFilter("h", 1000000L, 0.01)
+      val might = udf((v: String) => bf.mightContainString(v))
+      val definitelyNew = batch.filter(!might(col("h")))
+      val confirmedNew = batch.filter(might(col("h")))
+        .join(snap, Seq("h"), "left_anti")
+      definitelyNew.select(col("doc_id"), col("h"))
+        .union(confirmedNew.select(col("doc_id"), col("h")))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------- source auditing
+
+    // Per-source language mix: document count, language count, Shannon
+    // entropy of the language distribution and the dominant language —
+    // the audit table a curation run reviews before setting per-source
+    // sampling weights. The `0.0 -` spelling keeps single-language sources
+    // at +0.0 entropy on both engines (avoids the IEEE -0.0 artifact).
+    //
+    // Scale shape: one partial-aggregated groupBy on (source, lang); the
+    // windows then run over per-source language distributions (bounded by
+    // the number of languages, never by corpus size).
+    QueryDef("p27_source_mix", Some("""
+      WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+      r AS (SELECT source, lang, n,
+              sum(n) OVER (PARTITION BY source) AS tot,
+              row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+            FROM c)
+      SELECT source,
+             CAST(max(tot) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             round(sum(0.0 - (CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6) AS lang_entropy,
+             min(CASE WHEN rn = 1 THEN lang END) AS top_lang
+      FROM r GROUP BY source ORDER BY source""")) { (s, dir) =>
+      val c = Tables.df(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val share = col("n").cast("double") / col("tot")
+      val r = c
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("source"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n").desc, col("lang"))))
+      r.groupBy(col("source"))
+        .agg(max(col("tot")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          round(sum(lit(0.0) - share * log(share)), 6).as("lang_entropy"),
+          min(when(col("rn") === 1, col("lang"))).as("top_lang"))
+        .orderBy(col("source"))
+    }
+  )
+}

@@ -4,14 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
-/** Remaining TPC-H-shaped workloads (Q4/Q7/Q8/Q15/Q17/Q22 adapted to the
-  * driver testdata schema — no l_commitdate/l_receiptdate/l_shipmode/
-  * partsupp/phone columns, order dates span 1995-2001). Together with
+/** Remaining TPC-H-shaped workloads (Q4/Q7/Q8/Q15/Q17/Q21/Q22 adapted to
+  * the driver testdata schema — no l_commitdate/l_receiptdate/l_shipmode/
+  * partsupp/phone columns, order dates span 1995-2001; Q12/Q21's "late"
+  * predicate is re-expressed over l_shipdate vs o_orderdate). Together with
   * q01/q40/q55-q61 this covers every TPC-H query shape expressible over the
-  * available columns: the exceptions (Q2/Q11/Q16/Q20 need partsupp,
-  * Q12/Q21 need commit/receipt dates) are structural duplicates of shapes
-  * already present (broadcast-dim joins, semi/anti chains, conditional
-  * aggregation).
+  * available columns: the exceptions (Q2/Q11/Q20 need partsupp) are
+  * structural duplicates of shapes already present (broadcast-dim joins,
+  * semi/anti chains, conditional aggregation).
   */
 object TpchQueries {
 
@@ -284,6 +284,54 @@ object TpchQueries {
         .groupBy(col("p_brand"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"))
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting, adapted: "late" =
+    // shipped >60 days after the order date, standing in for
+    // receiptdate > commitdate). The interesting plan is the correlated
+    // EXISTS + NOT EXISTS pair over the same fact table → a left-semi join
+    // (another supplier participated) chained with a left-anti join (no
+    // other supplier was late), both equi-keyed on the order key. The
+    // supplier/nation dims are broadcast and applied before the semi/anti
+    // chain so only one nation's lines flow through it.
+    QueryDef("q86_tpch_q21", Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders, nation
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")) { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val sup = Tables.df(s, dir, "supplier")
+        .join(Tables.df(s, dir, "nation").filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val o = Tables.df(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val late = li.join(o, li("l_orderkey") === o("o_orderkey")
+          && li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .join(broadcast(sup), li("l_suppkey") === col("s_suppkey"))
+        .select(li("l_orderkey").as("orderkey"), li("l_suppkey").as("suppkey"),
+          o("o_orderdate").as("odate"), col("s_name"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val withOther = late.join(l2,
+        col("orderkey") === col("k2") && col("suppkey") =!= col("s2"), "left_semi")
+      val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      withOther.join(l3,
+          col("orderkey") === col("k3") && col("suppkey") =!= col("s3")
+            && col("d3") > col("odate") + expr("INTERVAL 60 DAYS"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }
   )
 }

@@ -135,4 +135,36 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "six-table join must stay hash/broadcast joins")
   }
+
+  test("q86 (TPC-H Q21): EXISTS/NOT EXISTS become a semi+anti join chain") {
+    val plan = planOf(run("q86_tpch_q21")).toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as a left-anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "correlated subqueries must not fall back to a cartesian product")
+  }
+
+  test("p23 (semantic dedup): centroids broadcast; pair join is equi on the cell") {
+    val nodes = collectAll(planOf(run("p23_semantic_dedup")))
+    // the only nested-loop allowed is the corpus×centroids broadcast
+    // (centroids are the tiny side); the pair join itself must be hash
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "candidate generation must never be an all-pairs cartesian")
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin"))
+      || nodes.exists(_.nodeName.contains("BroadcastExchange")),
+      "centroid assignment must broadcast the centroid side")
+  }
+
+  test("p25 (unigram LM): scoring join broadcasts the capped vocabulary") {
+    val nodes = collectAll(planOf(run("p25_unigram_lm")))
+    assert(nodes.exists(n => n.nodeName.contains("BroadcastHashJoin")),
+      "token scoring must be a map-side broadcast-hash-join — the corpus is never shuffled by token")
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "vocabulary cap must be TakeOrdered top-k, not a single-partition global window")
+  }
+
+  test("p26 (bloom incremental): exact confirm is an anti-join after the bloom prefilter") {
+    val plan = planOf(run("p26_bloom_incremental")).toString
+    assert(plan.contains("LeftAnti"), s"confirm stage must be a left-anti join:\n$plan")
+  }
 }

@@ -13,6 +13,7 @@ class QueriesSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("p02_dedup_minhash", "p04_dedup_jaccard",
     "p05_dedup_embedding", "p17_dedup_jaccard_capped",
     "p18_dedup_components", "p20_contamination", // pair/overlap-emitting — may be empty on tiny data
+    "p23_semantic_dedup", // same: near-dup pairs may not exist in tiny synthetic data
     "q71_tpch_q22") // every sf0.001 customer has orders
 
   SparkEntry.allDefs.foreach { d =>
