@@ -21,13 +21,15 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only.exists(k.startsWith) }
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Warm-query timing (BASELINE.md): one untimed pass per query absorbs
       // Janino whole-stage-codegen compilation and JIT — one-time costs the
       // reference's precompiled kernels never pay per statement, and exactly
       // what its ClickBench harness amortizes by looping statements inside a
-      // session. The timed pass is the steady-state cost that scales with
-      // data.
+      // session. Then MEDIAN of `trials` timed passes: a single timed pass
+      // proved noise-bound (round 3: one GC pause read as a phantom 3.9x
+      // regression); the median of 3 is robust to one outlier pause.
       // noop sink forces full materialization of every column (count() would
       // let Catalyst prune the projections we mean to measure).
       // A failed query records -1, never its time-until-throw — a broken
@@ -36,16 +38,27 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
       val warmOk = once()
-      val t0 = System.nanoTime()
-      val ok = warmOk && once()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = if (!warmOk) Seq.empty[Double] else (1 to trials).flatMap { _ =>
+        val t0 = System.nanoTime()
+        if (once()) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      val median =
+        if (times.size < trials) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","trials":$trials}"""
+    // Full artifact on disk: the driver's tail-capture truncates the stdout
+    // line, so rounds could not be compared query-by-query without this.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

@@ -17,6 +17,19 @@ object PipelineQueries3 {
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
+  /** Broadcast `df` only when a bounded count probe stays at or under
+    * `maxRows`; otherwise return it unhinted so the join planner falls back
+    * to a shuffle join. The probe (`limit(maxRows+1).count()`) touches at
+    * most maxRows+1 rows regardless of the side's true size, so the check
+    * itself cannot OOM — unlike an unconditional `broadcast()` of a side
+    * that only *usually* stays small. Note this is an eager Spark action at
+    * DataFrame-construction time (like p26's bloom build).
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame, maxRows: Int): DataFrame = {
+    val probe = df.limit(maxRows + 1).count()
+    if (probe <= maxRows) broadcast(df) else df
+  }
+
   /** Distinct word n-gram shingles of the token array. */
   private def shingles(tokens: Column, n: Int): Column =
     array_distinct(transform(
@@ -161,11 +174,13 @@ object PipelineQueries3 {
     // a held-out benchmark set? Benchmark = every 20th document (stand-in
     // for the real eval suites); overlap = distinct shared 5-gram count.
     //
-    // Scale shape: the benchmark side is small and BROADCAST; the corpus
-    // side is map-only shingling followed by one broadcast-hash-join on the
-    // shingle and a partial-aggregated count — no shuffle of the corpus by
-    // shingle, so a hot n-gram cannot produce a straggler. Reported pairs
-    // are thresholded (>= 3 shared 5-grams) to keep output sparse.
+    // Scale shape: the benchmark side is small (real eval suites are) and
+    // BROADCAST — but guarded: broadcastIfSmall probes the gram count and
+    // falls back to a shuffle join past 2M grams, so a mis-sized benchmark
+    // side degrades to a slower-but-safe plan instead of OOMing the
+    // executors. The corpus side is map-only shingling followed by one
+    // hash-join on the shingle and a partial-aggregated count. Reported
+    // pairs are thresholded (>= 3 shared 5-grams) to keep output sparse.
     QueryDef("p20_contamination", Some("""
       WITH grams AS (
         SELECT doc_id, unnest(list_distinct(g)) AS g FROM (
@@ -186,7 +201,7 @@ object PipelineQueries3 {
       val bench = grams.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)
-      corpus.join(broadcast(bench), "g")
+      corpus.join(broadcastIfSmall(bench, 2000000), "g")
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(countDistinct(col("g")).as("shared_grams"))
         .filter(col("shared_grams") >= 3)

@@ -166,12 +166,21 @@ object PipelineQueries4 {
     // only the (mightContain) sliver is exactly confirmed with an anti-join,
     // so false positives cannot leak into the output.
     //
-    // Scale shape: the bloom build is a treeAggregate (no row collect; the
-    // bit array is size-bounded by construction — at larger snapshot counts
-    // raise expectedNumItems or shard by hash prefix); the confirm anti-join
-    // sees only the bloom-positive fraction (~fpp of the genuinely-new rows
-    // plus the true dups) instead of the whole batch. This mirrors Spark's
-    // own runtime bloom-filter join pushdown, applied cross-snapshot.
+    // Scale shape: the bloom build is a treeAggregate (no row collect), and
+    // its expectedNumItems is sized from an actual snapshot count so fpp
+    // cannot silently degrade as the snapshot grows (shard by hash prefix
+    // past single-filter sizes); the confirm anti-join sees only the
+    // bloom-positive fraction (~fpp of the genuinely-new rows plus the true
+    // dups) instead of the whole batch. This mirrors Spark's own runtime
+    // bloom-filter join pushdown, applied cross-snapshot.
+    //
+    // NOTE both the count and stat.bloomFilter are EAGER Spark actions at
+    // DataFrame-construction time: plan-only consumers of this QueryDef
+    // (plan captures, explain) still pay two real aggregation jobs.
+    // Non-null assumption: content hashes are md5(text) over non-null text;
+    // the oracle's NOT IN matches the anti-join only under that assumption
+    // (a NULL key would empty NOT IN while left_anti keeps the row), and
+    // the UDF below guards null defensively rather than NPE-ing.
     QueryDef("p26_bloom_incremental", Some("""
       WITH snap AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
       batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0)
@@ -182,8 +191,9 @@ object PipelineQueries4 {
         .select(col("doc_id"), md5(col("text")).as("h"))
       val snap = withH.filter(col("doc_id") % 3 === 0).select(col("h"))
       val batch = withH.filter(col("doc_id") % 3 =!= 0)
-      val bf = snap.stat.bloomFilter("h", 1000000L, 0.01)
-      val might = udf((v: String) => bf.mightContainString(v))
+      val snapN = math.max(snap.count(), 1000L)
+      val bf = snap.stat.bloomFilter("h", snapN, 0.01)
+      val might = udf((v: String) => v != null && bf.mightContainString(v))
       val definitelyNew = batch.filter(!might(col("h")))
       val confirmedNew = batch.filter(might(col("h")))
         .join(snap, Seq("h"), "left_anti")

@@ -36,10 +36,20 @@ object RelationalQueries {
     * money magnitudes (≤1e5) and scale 4 that is ~10^10 rows per group-by
     * output cell's input; beyond that (full 100-TB single-cell sums) use
     * [[dsum]], whose decimal(38) buffer never overflows. */
-  private[operators] def fsum(c: Column, scale: Int): Column = {
+  private[graft] def fsum(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
-    val scaled = sum(floor((if (scale == 0) c else c * f) + lit(0.5)))
-    if (scale == 0) scaled.cast("double") else scaled / f
+    val scaledLong = floor((if (scale == 0) c else c * f) + lit(0.5))
+    // Overflow guard: try_sum follows ANSI semantics even off ANSI mode and
+    // yields NULL on a 2^63 wrap; a NULL sum over a non-empty group is then
+    // escalated to a loud error instead of a silently wrong number. (A NULL
+    // sum with zero non-null inputs is the ordinary empty-sum NULL and
+    // passes through.) Past the documented headroom, use [[dsum]].
+    val summed = try_sum(scaledLong)
+    val guarded = when(summed.isNull && count(scaledLong) > 0,
+      raise_error(lit("graft.fsum: fixed-point sum overflowed 2^63 — use dsum for this column"))
+        .cast("long"))
+      .otherwise(summed)
+    if (scale == 0) guarded.cast("double") else guarded / f
   }
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
@@ -277,21 +287,53 @@ object RelationalQueries {
         .orderBy(col("region"))
     },
 
-    // NonEquiJoinNode — pure theta join, BroadcastNestedLoopJoin territory
+    // NonEquiJoinNode — pure theta join, executed as a BANDED RANGE JOIN
     // (reference: opteryx/operators/non_equi_join_node.py:38-120).
-    // Inherently O(n·m): correct as operator coverage, but a 100-TB
-    // deployment would bin acctbal into range buckets and equi-join on the
-    // bucket id (bucket b joins b' <= b, exact compare inside the pair) —
-    // the q14 range-join pattern — rather than nested-loop the fact tables.
+    // A naive `s_acctbal > c_acctbal` plans as an O(n·m)
+    // BroadcastNestedLoopJoin — a scale-killer on fact×fact at 100 TB. This
+    // plan decomposes the theta into two scale-safe parts on a bucketed
+    // acctbal axis (width 1000):
+    //   (a) customers in buckets STRICTLY BELOW the supplier's bucket are all
+    //       poorer — counted once per bucket and cumulated over the tiny
+    //       bucket dimension, then broadcast-joined back to suppliers (the
+    //       heavy sides are touched only by per-bucket partial aggregates);
+    //   (b) SAME-bucket pairs get the exact compare inside an equi-join on
+    //       the bucket id — O(n·m / #buckets) instead of O(n·m).
+    // Result-identical to the nested-loop plan (RelationalQueriesTwins holds
+    // the NLJ baseline; QueriesSpec asserts equality) and contains no
+    // BroadcastNestedLoopJoin (PlanPropertiesSpec asserts).
     QueryDef("q15_join_theta", Some("""
       SELECT s_suppkey, count(*) AS n_poorer
       FROM supplier JOIN customer ON s_acctbal > c_acctbal
       GROUP BY s_suppkey ORDER BY s_suppkey""")) { (s, dir) =>
+      val bandW = 1000.0
       val sup = Tables.df(s, dir, "supplier")
-      val c = Tables.df(s, dir, "customer")
-      sup.join(c, col("s_acctbal") > col("c_acctbal"))
-        .groupBy(col("s_suppkey"))
-        .agg(count(lit(1)).as("n_poorer"))
+        .select(col("s_suppkey"), col("s_acctbal"),
+          floor(col("s_acctbal") / bandW).cast("int").as("sb"))
+      val cust = Tables.df(s, dir, "customer")
+        .select(col("c_acctbal"), floor(col("c_acctbal") / bandW).cast("int").as("cb"))
+      // Tiny bucket dimension (|domain|/bandW rows — ~11 for TPC-H acctbal):
+      // per-bucket customer counts, cumulated to "customers strictly below
+      // bucket b". The single-partition window is over this dimension, never
+      // the data. Buckets present only on the supplier side still need a row
+      // (their below-count is the cumsum), hence the union of both sides.
+      val buckets = sup.select(col("sb").as("b")).distinct()
+        .union(cust.select(col("cb").as("b")).distinct()).distinct()
+      val perBucket = cust.groupBy(col("cb")).agg(count(lit(1)).as("bn"))
+      val below = buckets.join(perBucket, col("b") === col("cb"), "left")
+        .select(col("b"), coalesce(col("bn"), lit(0L)).as("bn"))
+        .withColumn("below", coalesce(
+          sum(col("bn")).over(Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("b").as("sb"), col("below"))
+      val fromBelow = sup.join(broadcast(below), Seq("sb"), "left")
+        .select(col("s_suppkey"), coalesce(col("below"), lit(0L)).as("part"))
+      val fromSame = sup
+        .join(cust, col("sb") === col("cb") && col("s_acctbal") > col("c_acctbal"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("part"))
+      fromBelow.unionByName(fromSame)
+        .groupBy(col("s_suppkey")).agg(sum(col("part")).as("n_poorer"))
+        .filter(col("n_poorer") > 0)
         .orderBy(col("s_suppkey"))
     },
 

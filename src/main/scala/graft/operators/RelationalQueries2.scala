@@ -272,13 +272,23 @@ object RelationalQueries2 {
              json_extract(props, '$.k') IS NOT NULL AS has_k,
              CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
       FROM events ORDER BY event_id""")) { (s, dir) =>
-      Tables.df(s, dir, "events").select(
-        col("event_id"),
-        // stringified for the gate's pandas canonicalizer (array cells crash
-        // its sort); the json_object_keys capability is unchanged
-        array_join(sort_array(json_object_keys(col("props"))), "|").as("keys"),
-        get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
-        (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_mod"))
+      // ONE JSON parse per row: from_json to a map feeds keys/has_k/k_mod
+      // (the previous json_object_keys + 2x get_json_object shape parsed the
+      // same document three times — the per-row cost the reference's
+      // JSONB-at-scan design avoids by construction, read_node.py:29-88).
+      Tables.df(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)).as("m"))
+        .select(
+          col("event_id"),
+          // stringified for the gate's pandas canonicalizer (array cells
+          // crash its sort); the object-keys capability is unchanged
+          array_join(sort_array(map_keys(col("m"))), "|").as("keys"),
+          col("m")("k").isNotNull.as("has_k"),
+          (col("m")("k").cast("bigint") % 10).as("k_mod"))
         .orderBy(col("event_id"))
     },
 

@@ -150,9 +150,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // (centroids are the tiny side); the pair join itself must be hash
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
       "candidate generation must never be an all-pairs cartesian")
-    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin"))
-      || nodes.exists(_.nodeName.contains("BroadcastExchange")),
-      "centroid assignment must broadcast the centroid side")
+    // the centroid-assignment cross join itself must be the broadcast NLJ
+    // (a BroadcastExchange elsewhere — e.g. a rerank hash join — is not
+    // evidence the centroid side broadcasts), and its broadcast child must
+    // be the filtered centroid subplan, not a corpus-sized relation
+    val bnljs = nodes.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnljs.nonEmpty, "centroid assignment must be a broadcast nested-loop join")
+    assert(bnljs.exists { j =>
+      collectAll(j).exists(n => n.nodeName.contains("BroadcastExchange")
+        && n.toString.contains("cvec"))
+    }, "the BNLJ's broadcast side must be the centroid subplan (cvec projection)")
+  }
+
+  test("q15 (theta join): banded-range plan — no nested-loop, no cartesian") {
+    val nodes = collectAll(planOf(run("q15_join_theta")))
+    assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "theta join must execute as the banded equi-join decomposition, not an O(n*m) NLJ")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "theta join must not cartesian-shuffle")
   }
 
   test("p25 (unigram LM): scoring join broadcasts the capped vocabulary") {
@@ -161,6 +176,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "token scoring must be a map-side broadcast-hash-join — the corpus is never shuffled by token")
     assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
       "vocabulary cap must be TakeOrdered top-k, not a single-partition global window")
+  }
+
+  test("p20 guard: oversized broadcast side falls back to an unhinted (shuffle) join") {
+    val side = spark.range(0, 100).toDF("g")
+    val hinted = operators.PipelineQueries3.broadcastIfSmall(side, 1000)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "side under the threshold must carry the broadcast hint")
+    val unhinted = operators.PipelineQueries3.broadcastIfSmall(side, 5)
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "side over the threshold must NOT be broadcast — shuffle join is the safe fallback")
   }
 
   test("p26 (bloom incremental): exact confirm is an anti-join after the bloom prefilter") {

@@ -26,6 +26,34 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q15 banded-range plan equals the nested-loop baseline twin") {
+    val banded = SparkEntry.queries("q15_join_theta")(spark, SharedSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val nlj = operators.RelationalQueriesTwins.thetaJoinNlj(spark, SharedSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(banded == nlj)
+  }
+
+  test("fsum fails loudly past 2^63 instead of wrapping silently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two addends just under Long.MaxValue: a plain long sum would wrap to a
+    // negative number; the guarded fsum must throw instead
+    val big = Seq(9.0e18, 9.0e18).toDF("v")
+    val ex = intercept[Throwable] {
+      big.agg(operators.RelationalQueries.fsum(col("v"), 0).as("s")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("fsum")),
+      s"expected the fsum overflow error, got: $ex")
+    // and below the headroom it stays exact
+    val ok = Seq(1.5, 2.25).toDF("v")
+      .agg(operators.RelationalQueries.fsum(col("v"), 2).as("s"))
+      .collect()(0).getDouble(0)
+    assert(ok == 3.75)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
