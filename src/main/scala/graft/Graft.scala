@@ -52,6 +52,27 @@ class Graft(val spark: SparkSession) {
       options: Map[String, String] = Map.empty): Unit =
     graft.sources.Jdbc.query(spark, url, sql, options).createOrReplaceTempView(name)
 
+  /** Register an Iceberg catalog on this session (the reference's
+    * IcebergConnector, opteryx/connectors/iceberg_connector.py:122-330).
+    * Needs the iceberg-spark-runtime jar on the classpath — absent in this
+    * environment, so registration fails with a documented error while the
+    * full planning surface (snapshot selection, temporal-FOR → time-travel
+    * mapping, catalog conf) stays live and spec-covered; see
+    * [[graft.sources.Iceberg]]. */
+  def registerIcebergCatalog(name: String, warehouse: String,
+      catalogType: String = "hadoop"): Unit =
+    graft.sources.Iceberg.registerCatalog(spark, name, catalogType, warehouse)
+
+  /** Register one Iceberg table as a view, optionally at a snapshot id or a
+    * point-in-time (graft temporal `FOR` specs map via
+    * [[graft.sources.Iceberg.temporalForToTimeTravel]]). */
+  def registerIceberg(name: String, table: String,
+      snapshotId: Option[Long] = None, asOf: Option[String] = None): Unit = {
+    val tt = snapshotId.map(graft.sources.Iceberg.TimeTravel.version)
+      .orElse(asOf.map(graft.sources.Iceberg.TimeTravel.asOf))
+    graft.sources.Iceberg.scan(spark, table, tt).createOrReplaceTempView(name)
+  }
+
   /** Register a Hive-partitioned dataset (e.g. `.../dt=2024-01-01/part-0.parquet`)
     * with its partition column as the temporal axis: `FOR` clauses then
     * become partition-pruned scans (the reference's partitioned Diachronic
@@ -118,8 +139,9 @@ class Graft(val spark: SparkSession) {
         return Meta.showCreateView(spark, views, name)
       case Meta.SetVarRe(name, value) =>
         return Meta.setVariable(spark, name, GraftSql.rewrite(value).sql)
-      case Meta.ExplainRe(analyze, inner) =>
-        return Meta.explain(spark, queryImpl(inner, args, named), analyze != null)
+      case Meta.ExplainRe(analyze, format, inner) =>
+        return Meta.explain(spark, queryImpl(inner, args, named), analyze != null,
+          if (format == null) "TEXT" else format)
       case Meta.ShowVarRe(name)
           if !Set("tables", "databases", "views", "functions", "columns")
             .contains(name.toLowerCase) =>

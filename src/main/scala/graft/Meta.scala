@@ -17,7 +17,8 @@ object Meta {
     """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([\w.$]+)\s*;?\s*$""".r
   val SetVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.+?)\s*;?\s*$""".r
   val ShowVarRe = """(?is)^\s*SHOW\s+@?([\w.]+)\s*;?\s*$""".r
-  val ExplainRe = """(?is)^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$""".r
+  val ExplainRe =
+    """(?is)^\s*EXPLAIN(\s+ANALYZE)?(?:\s+FORMAT\s+(TEXT|MERMAID))?\s+(.+)$""".r
 
   /** `SHOW COLUMNS FROM t` — name/type/nullable; EXTENDED adds per-column
     * stats (count, nulls, approx distinct, min, max) computed in ONE
@@ -83,9 +84,17 @@ object Meta {
   /** `EXPLAIN` → formatted plan. `EXPLAIN ANALYZE` → execute fully, then
     * render the physical plan with per-operator runtime metrics (rows,
     * shuffle sizes, timing) — the reference's QueryStatistics sensor surface
-    * (models/query_statistics.py, serial_engine.py:85-96). */
-  def explain(spark: SparkSession, df: DataFrame, analyze: Boolean): DataFrame = {
+    * (models/query_statistics.py, serial_engine.py:85-96). `FORMAT MERMAID`
+    * renders the same tree as a mermaid flowchart (serial_engine.py:70-120,
+    * utils/mermaid.py: `flowchart BT`, nodes + row-labelled edges). */
+  def explain(spark: SparkSession, df: DataFrame, analyze: Boolean,
+      format: String = "TEXT"): DataFrame = {
     import spark.implicits._
+    if (format != null && format.equalsIgnoreCase("MERMAID")) {
+      if (analyze) df.queryExecution.executedPlan.execute().count()
+      return mermaid(df.queryExecution.executedPlan, analyze)
+        .split('\n').toSeq.toDF("plan")
+    }
     val text =
       if (!analyze)
         df.queryExecution.explainString(
@@ -114,5 +123,38 @@ object Meta {
         sb.toString
       }
     text.split('\n').toSeq.toDF("plan")
+  }
+
+  /** The executed plan as a mermaid `flowchart BT` — data flows bottom-up
+    * like the reference's rendering (opteryx/utils/mermaid.py:1-22): one
+    * `NODE_i["name"]` per operator, edges child→parent labelled with the
+    * child's output row count when ANALYZE ran. */
+  private def mermaid(root: org.apache.spark.sql.execution.SparkPlan,
+      analyze: Boolean): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sb = new StringBuilder("flowchart BT\n\n")
+    var nextId = 0
+    def esc(s: String): String = s.replace("\"", "'")
+    def walk(p: SparkPlan): Int = {
+      val id = nextId; nextId += 1
+      sb.append(s"""  NODE_$id["${esc(p.nodeName)}"]""").append('\n')
+      val kids = p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })
+      kids.foreach { c =>
+        val cid = walk(c)
+        val rows = if (analyze) c.metrics.get("numOutputRows").map(_.value) else None
+        rows match {
+          case Some(r) => sb.append(s"""  NODE_$cid -- "$r rows" --> NODE_$id""").append('\n')
+          case None => sb.append(s"  NODE_$cid --> NODE_$id").append('\n')
+        }
+      }
+      id
+    }
+    walk(root)
+    sb.toString
   }
 }

@@ -56,6 +56,25 @@ class MetaSpec extends AnyFunSuite {
     assert(plan.contains("=") && plan.nonEmpty)
   }
 
+  test("EXPLAIN ANALYZE FORMAT MERMAID renders the executed join plan as a flowchart") {
+    val lines = g.query("""EXPLAIN ANALYZE FORMAT MERMAID
+      SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey""")
+      .collect().map(_.getString(0))
+    val text = lines.mkString("\n")
+    assert(lines.head == "flowchart BT")
+    assert(text.contains("NODE_0["), s"expected node declarations:\n$text")
+    assert(text.contains("--> NODE_"), s"expected edges:\n$text")
+    assert(text.contains("Join"), s"expected a join operator node:\n$text")
+    assert(text.contains("rows\" -->"), s"ANALYZE must label edges with row counts:\n$text")
+  }
+
+  test("EXPLAIN FORMAT MERMAID (no analyze) renders unlabelled edges") {
+    val text = g.query("EXPLAIN FORMAT MERMAID SELECT count(*) AS n FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(text.startsWith("flowchart BT"))
+    assert(text.contains("-->") && !text.contains("rows\" -->"))
+  }
+
   test("@var inside string literal is untouched") {
     val s = g.query("SELECT 'mail@example' AS e").head().getString(0)
     assert(s == "mail@example")
