@@ -48,4 +48,52 @@ object DocumentStreams {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         approx_count_distinct(col("digest")).as("approx_unique"))
+
+  /** Distinct hashed `n`-token windows at stride `stride` (the p24 span
+    * shape), computed row-locally — identical per micro-batch and in batch. */
+  private def spanHashes(text: org.apache.spark.sql.Column, n: Int,
+      stride: Int): org.apache.spark.sql.Column = {
+    val t = split(lower(text), "\\s+")
+    // guard: sequence(1, size-n+1) is invalid when the doc is shorter than
+    // one span — short docs get an empty span list, not an error
+    when(size(t) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1), lit(stride)),
+        i => md5(concat_ws(" ", slice(t, i, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The static benchmark gram set consumed by [[contamination]] —
+    * (bench_id, 5-gram hash) rows, row-locally computed from the held-out
+    * benchmark documents. */
+  def benchGrams(benchDocs: DataFrame): DataFrame =
+    benchDocs.select(col("doc_id").as("bench_id"),
+      explode(spanHashes(col("text"), 5, 1)).as("g"))
+
+  /** Incremental span-count index — the streaming form of p24's `cnt` stage:
+    * the running number of documents containing each 10-token/stride-5 span.
+    * This is the STATE a streaming span-dedup consults (a micro-batch flags
+    * a document's spans against these counts); span hashing is row-local, so
+    * the only stateful stage is the keyed count — one state row per distinct
+    * span, the same footprint as the batch groupBy. Documents carry no event
+    * time, so production bounds this state with an ingest-time watermark —
+    * the same contract as [[dedupByContent]]. */
+  def spanCounts(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), "\\s+")) >= 10)
+      .select(col("doc_id"), explode(spanHashes(col("text"), 10, 5)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+
+  /** Streaming benchmark-contamination — the p20 semantics with the corpus
+    * ARRIVING as a stream and the benchmark gram set STATIC (eval suites
+    * change rarely): a stream-static equi-join on the gram (the static side
+    * is broadcast-size by the p20 contract, guarded there), then a keyed
+    * count per (corpus doc, benchmark doc) pair. Per-document grams are
+    * row-local-distinct, so the pair count equals the batch twin's
+    * count(DISTINCT g) without a streaming-unsupported distinct aggregate. */
+  def contamination(docsStream: DataFrame, benchGrams: DataFrame): DataFrame =
+    docsStream
+      .select(col("doc_id"), explode(spanHashes(col("text"), 5, 1)).as("g"))
+      .join(benchGrams, "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
 }

@@ -150,6 +150,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("incremental span-count index matches the batch p24 cnt stage") {
+    val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
+    runToMemory(graft.streaming.DocumentStreams.spanCounts(stream), "span_cnt")
+    val streamed = spark.table("span_cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // batch twin: p24's span-count stage over the same bounded input
+    val t = split(lower(col("text")), "\\s+")
+    val batch = Tables.df(spark, SharedSpark.sf, "documents")
+      .filter(org.apache.spark.sql.functions.size(t) >= 10)
+      .select(explode(array_distinct(transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(t) - 9, lit(5)),
+        i => md5(concat_ws(" ", slice(t, i, lit(10))))))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming contamination (stream-static gram join) matches batch p20 pairs") {
+    val docs = Tables.df(spark, SharedSpark.sf, "documents")
+    val bench = graft.streaming.DocumentStreams.benchGrams(
+      docs.filter(col("doc_id") % 20 === 0))
+    val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
+      .filter(col("doc_id") % 20 =!= 0)
+    runToMemory(graft.streaming.DocumentStreams.contamination(stream, bench), "contam")
+    val streamed = spark.table("contam")
+      .filter(col("shared_grams") >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val batch = SparkEntry.queries("p20_contamination")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming per-language corpus stats match the batch aggregate") {
     val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
     runToMemory(graft.streaming.DocumentStreams.langStats(stream), "doc_stats")
