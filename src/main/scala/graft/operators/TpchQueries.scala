@@ -4,14 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
-/** Remaining TPC-H-shaped workloads (Q4/Q7/Q8/Q15/Q17/Q21/Q22 adapted to
-  * the driver testdata schema — no l_commitdate/l_receiptdate/l_shipmode/
-  * partsupp/phone columns, order dates span 1995-2001; Q12/Q21's "late"
-  * predicate is re-expressed over l_shipdate vs o_orderdate). Together with
-  * q01/q40/q55-q61 this covers every TPC-H query shape expressible over the
-  * available columns: the exceptions (Q2/Q11/Q20 need partsupp) are
-  * structural duplicates of shapes already present (broadcast-dim joins,
-  * semi/anti chains, conditional aggregation).
+/** Remaining TPC-H-shaped workloads (Q2/Q4/Q7/Q8/Q11/Q15/Q17/Q20/Q21/Q22
+  * adapted to the driver testdata schema — no l_commitdate/l_receiptdate/
+  * l_shipmode/phone columns, order dates span 1995-2001; Q12/Q21's "late"
+  * predicate is re-expressed over l_shipdate vs o_orderdate; Q2/Q11/Q20's
+  * missing partsupp table is stood in by the (l_partkey, l_suppkey)
+  * association aggregated from lineitem). Together with q01/q40/q55-q61
+  * this covers all 22 TPC-H query shapes over the available columns.
   */
 object TpchQueries {
 
@@ -332,6 +331,117 @@ object TpchQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    },
+
+    // Q2 shape: minimum-cost supplier per part. The testdata has no partsupp
+    // table, so lineitem serves as the part↔supplier association with
+    // min(l_extendedprice) per (part, supplier) standing in for
+    // ps_supplycost (min: exact and order-independent, so the cost-equality
+    // correlated predicate is engine-stable, unlike an avg of doubles). The
+    // correlated scalar subquery decorrelates to a per-part min aggregate
+    // joined back — Catalyst plans both sides off one shuffled ps relation;
+    // supplier/nation/region dims broadcast.
+    QueryDef("q87_tpch_q2", Some("""
+      WITH ps AS (
+        SELECT l_partkey AS ps_pk, l_suppkey AS ps_sk, min(l_extendedprice) AS supcost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+      reg AS (
+        SELECT ps_pk, supcost, s_acctbal, s_name, n_name
+        FROM ps JOIN supplier ON s_suppkey = ps_sk
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AFRICA')
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supcost AS ps_supplycost
+      FROM part JOIN reg ON ps_pk = p_partkey
+      WHERE p_size = 25
+        AND supcost = (SELECT min(r2.supcost) FROM reg r2 WHERE r2.ps_pk = p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""")) { (s, dir) =>
+      val ps = Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supcost"))
+      val supDim = Tables.df(s, dir, "supplier")
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.df(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AFRICA")
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+      val reg = ps.join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+      val minPerPart = reg.groupBy(col("l_partkey").as("mp_pk"))
+        .agg(min(col("supcost")).as("min_cost"))
+      Tables.df(s, dir, "part").filter(col("p_size") === 25)
+        .join(reg, col("p_partkey") === col("l_partkey"))
+        .join(minPerPart,
+          col("p_partkey") === col("mp_pk") && col("supcost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_type"), col("supcost").as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // Q11 shape: parts representing a significant fraction of tracked value
+    // — groupBy + HAVING against a scalar global aggregate. Part value is a
+    // fixed-point exact long sum on both engines, and the 0.1% threshold is
+    // derived from the exact long total, so the comparison is
+    // double-deterministic. The threshold arrives as a broadcast 1-row
+    // cross join, never a driver collect.
+    QueryDef("q88_tpch_q11", Some("""
+      WITH sl AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS v
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(v AS BIGINT) / 10000.0 AS part_value
+      FROM sl WHERE v > (SELECT 0.001 * sum(v) FROM sl)
+      ORDER BY part_value DESC, l_partkey""")) { (s, dir) =>
+      val supN = Tables.df(s, dir, "supplier")
+        .join(broadcast(Tables.df(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(col("s_suppkey"))
+      val sl = Tables.df(s, dir, "lineitem")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000.0 + lit(0.5))).as("v"))
+      val thresh = sl.agg((sum(col("v")) * 0.001).as("thresh"))
+      sl.crossJoin(broadcast(thresh))
+        .filter(col("v") > col("thresh"))
+        .select(col("l_partkey"), (col("v") / 10000.0).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // Q20 shape: suppliers who shipped excess volume of a part class —
+    // IN-subquery over a grouped HAVING relation → aggregate + left-semi
+    // join chain. Quantities are integral-valued doubles, so the HAVING sum
+    // is exact on both engines.
+    QueryDef("q89_tpch_q20", Some("""
+      SELECT s_name, s_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3' AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 60)
+      ORDER BY s_name""")) { (s, dir) =>
+      val heavy = Tables.df(s, dir, "lineitem")
+        .join(broadcast(Tables.df(s, dir, "part")
+          .filter(col("p_name").like("%widget%")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 60)
+        .select(col("l_suppkey"))
+      Tables.df(s, dir, "supplier")
+        .join(broadcast(Tables.df(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
     }
   )
 }
