@@ -263,6 +263,23 @@ object Functions {
       (es: Seq[Expression]) => graft.functions.NativeExpressions.MinHashSignatureExpr(
         es(0), es(1).eval().asInstanceOf[Int]),
       "internal")
+    // STRING_SPLIT(s, sep) — literal-separator split (reference:
+    // opteryx/functions/string_functions.py split; DuckDB string_split).
+    // A literal separator is regex-quoted so '.'/'|' split literally;
+    // STRING_SPLIT_REGEX is the regex form (maps to Spark split directly).
+    import org.apache.spark.sql.catalyst.expressions.StringSplit
+    import org.apache.spark.sql.types.StringType
+    reg.createOrReplaceTempFunction("string_split",
+      (es: Seq[Expression]) => {
+        val sep = es(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            Literal(java.util.regex.Pattern.quote(s.toString))
+          case other => other
+        }
+        StringSplit(es(0), sep, Literal(-1))
+      }, "internal")
+    reg.createOrReplaceTempFunction("string_split_regex",
+      (es: Seq[Expression]) => StringSplit(es(0), es(1), Literal(-1)), "internal")
     // IIF(cond, a, b) — ternary spelling (reference: functions/__init__.py:604)
     reg.createOrReplaceTempFunction("iif",
       (es: Seq[Expression]) => If(es(0), es(1), es(2)), "internal")

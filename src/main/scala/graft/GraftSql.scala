@@ -451,6 +451,41 @@ object GraftSql {
     }
   }
 
+  /** SQL keywords that terminate leftward expression capture — an operand
+    * equal to one of these is clause context, not part of the expression. */
+  private val exprBoundaryKw = Set("select", "from", "where", "and", "or",
+    "not", "on", "when", "then", "else", "end", "case", "by", "having",
+    "join", "in", "between", "like", "ilike", "rlike", "as", "union",
+    "intersect", "except", "limit", "offset", "distinct", "all", "any")
+
+  /** Like [[operandStart]], but extends leftward over binary arithmetic
+    * (`+ - * / %`) so a quantified comparison with an expression LHS
+    * (`n_nationkey % 5 = ALL (...)`) captures the WHOLE expression — the
+    * extremum/equality CASE rewrites substitute the LHS inside a CASE, where
+    * a dangling `n_nationkey % ` prefix would otherwise corrupt the types.
+    * Chaining stops at clause keywords so `WHERE -5 = ANY (...)` does not
+    * swallow `WHERE` through the unary minus. */
+  private def exprStart(sql: String, mask: Array[Boolean], l: Int): Int = {
+    var start = operandStart(sql, mask, l)
+    if (start < 0) return -1
+    var changed = true
+    while (changed) {
+      changed = false
+      var p = start - 1
+      while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+      if (p >= 0 && !mask(p) && "+-*/%".indexOf(sql.charAt(p)) >= 0) {
+        var q = p - 1
+        while (q >= 0 && sql.charAt(q).isWhitespace) q -= 1
+        val s2 = operandStart(sql, mask, q)
+        if (s2 >= 0 && s2 <= q) {
+          val operand = sql.substring(s2, q + 1).toLowerCase
+          if (!exprBoundaryKw.contains(operand)) { start = s2; changed = true }
+        }
+      }
+    }
+    start
+  }
+
   /** Spark's higher-order functions — the only call contexts in which a
     * `param -> body` arrow is a lambda rather than a JSON accessor. */
   private val hofNames = Set(
@@ -543,10 +578,10 @@ object GraftSql {
           opStart = mm.start(1)
         }
         if (op != null) {
-          // ---- LHS operand before the operator
+          // ---- LHS operand before the operator (full arithmetic expression)
           var l = opStart - 1
           while (l >= 0 && sql.charAt(l).isWhitespace) l -= 1
-          val lhsStart = operandStart(sql, mask, l)
+          val lhsStart = exprStart(sql, mask, l)
           // ---- RHS: balanced paren group from the keyword's open paren
           val open = m.end - 1
           var depth = 0
