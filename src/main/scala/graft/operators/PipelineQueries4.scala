@@ -240,6 +240,51 @@ object PipelineQueries4 {
           round(sum(lit(0.0) - share * log(share)), 6).as("lang_entropy"),
           min(when(col("rn") === 1, col("lang"))).as("top_lang"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------ sequence packing
+
+    // Training-example sequence packing: documents are packed contiguously
+    // into fixed-budget (512-token) sequences per language stream — the
+    // deterministic "contiguous packing" approximation of greedy bin
+    // packing used when materializing pretraining examples (greedy best-fit
+    // is inherently serial; contiguous packing is order-stable, parallel,
+    // and wastes at most one partial document per bin boundary). Output is
+    // the per-bin manifest a packer would materialize: docs per bin and
+    // exact token payload.
+    //
+    // Scale shape: token counting is row-local; the only stateful stage is
+    // a per-language running-sum window. At 100 TB a single language is too
+    // hot for one window partition — shard the partition key to
+    // (lang, hash(doc_id) % k) and pack each shard independently; bins then
+    // carry a shard prefix and the plan is identical. The fixture keeps the
+    // unsharded form so the oracle window matches exactly.
+    QueryDef("p28_sequence_packing", Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before
+        FROM t)
+      SELECT lang, CAST(floor(coalesce(before, 0) / 512.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM c GROUP BY lang, bin ORDER BY lang, bin""")) { (s, dir) =>
+      val t = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("before", sum(col("n_tokens")).over(w))
+        .select(col("lang"),
+          floor(coalesce(col("before"), lit(0L)) / 512.0).as("bin"),
+          col("n_tokens"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .orderBy(col("lang"), col("bin"))
     }
   )
 }
