@@ -162,6 +162,22 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }, "the BNLJ's broadcast side must be the centroid subplan (cvec projection)")
   }
 
+  test("q87 (TPC-H Q2 shape): dims broadcast; correlated min decorrelates — no cartesian") {
+    val nodes = collectAll(planOf(run("q87_tpch_q2")))
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "cost-equality subquery must decorrelate to an aggregate join-back, not a cartesian")
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "supplier/nation/region dims must broadcast")
+  }
+
+  test("q88 (TPC-H Q11 shape): threshold arrives by broadcast, not a shuffled join") {
+    val plan = planOf(run("q88_tpch_q11")).toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row threshold aggregate must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "threshold cross join must broadcast, not cartesian-shuffle")
+  }
+
   test("q15 (theta join): banded-range plan — no nested-loop, no cartesian") {
     val nodes = collectAll(planOf(run("q15_join_theta")))
     assert(!nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
