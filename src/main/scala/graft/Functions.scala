@@ -291,6 +291,60 @@ object Functions {
     // NORMAL() — standard-normal random (reference: functions/__init__.py:582)
     reg.createOrReplaceTempFunction("normal",
       (_: Seq[Expression]) => new Randn(), "internal")
+    // Round-4 parity sweep vs the reference registry
+    // (opteryx/functions/__init__.py:508-659) — remaining spellings Spark
+    // lacks or spells differently. All are thin Catalyst compositions
+    // (codegen-friendly, no UDFs).
+    import org.apache.spark.sql.catalyst.expressions.{Abs, ArrayContains, Contains, CurrentTimestamp => CurTs, DateFormatClass, ElementAt, EndsWith, JsonObjectKeys, Length, Lower, Sha2, StartsWith}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StringType => StrType}
+    reg.createOrReplaceTempFunction("absolute",
+      (es: Seq[Expression]) => Abs(es.head), "internal")
+    reg.createOrReplaceTempFunction("len",
+      (es: Seq[Expression]) => Length(es.head), "internal")
+    reg.createOrReplaceTempFunction("maximum",
+      (es: Seq[Expression]) => Max(es.head).toAggregateExpression(), "internal")
+    reg.createOrReplaceTempFunction("minimum",
+      (es: Seq[Expression]) => Min(es.head).toAggregateExpression(), "internal")
+    reg.createOrReplaceTempFunction("average",
+      (es: Seq[Expression]) => Average(es.head).toAggregateExpression(), "internal")
+    reg.createOrReplaceTempFunction("starts_with",
+      (es: Seq[Expression]) => StartsWith(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("ends_with",
+      (es: Seq[Expression]) => EndsWith(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("jsonb_object_keys",
+      (es: Seq[Expression]) => JsonObjectKeys(es.head), "internal")
+    reg.createOrReplaceTempFunction("list_contains",
+      (es: Seq[Expression]) => ArrayContains(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("list_contains_any",
+      (es: Seq[Expression]) => ArraysOverlap(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("list_contains_all",
+      (es: Seq[Expression]) => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0)),
+      "internal")
+    for (bits <- Seq(224, 256, 384, 512))
+      reg.createOrReplaceTempFunction(s"sha$bits",
+        (es: Seq[Expression]) => Sha2(es.head, Literal(bits)), "internal")
+    // PASSTHRU — identity (reference debugging surface)
+    reg.createOrReplaceTempFunction("passthru",
+      (es: Seq[Expression]) => es.head, "internal")
+    // TRUNCATE — numeric truncation toward zero (cast semantics)
+    reg.createOrReplaceTempFunction("truncate",
+      (es: Seq[Expression]) => Cast(es.head, LongType), "internal")
+    reg.createOrReplaceTempFunction("str",
+      (es: Seq[Expression]) => Cast(es.head, StrType), "internal")
+    // GET: Spark's builtin (0-based array subscript) stands; the reference's
+    // map/JSON GET maps to element_at / [] / get_string, all present.
+    // SEARCH(field, term) — case-insensitive substring search (reference:
+    // other_functions.py:27-60; its list-membership polymorphism is
+    // LIST_CONTAINS here — Catalyst builders can't branch on unresolved
+    // input types)
+    reg.createOrReplaceTempFunction("search",
+      (es: Seq[Expression]) => Contains(Lower(es(0)), Lower(es(1))), "internal")
+    // CURRENT_TIME — time-of-day string (Spark has no TIME type)
+    if (!reg.functionExists(FunctionIdentifier("current_time")))
+      reg.createOrReplaceTempFunction("current_time",
+        (_: Seq[Expression]) => new DateFormatClass(CurTs(), Literal("HH:mm:ss")),
+        "internal")
   }
 
   /** Tokenization shared by MATCH_AGAINST. */
