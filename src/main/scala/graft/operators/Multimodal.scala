@@ -7,14 +7,89 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and per-batch decode / feature
   * extraction runs as a partition-local stage.
   *
-  * The decode kernels themselves are STUBBED (no image/audio libraries in
-  * this environment) behind `DecodeStub` — deterministic fakes keyed off the
-  * payload bytes — but everything Spark-side is real: the asset schema, the
+  * IMAGE decode, resize, and feature extraction are REAL — pure-JDK
+  * `javax.imageio` (PNG/JPEG/GIF/BMP) + `Graphics2D`, fully headless, no
+  * external libraries. Payloads ImageIO cannot decode, and audio/video
+  * (no codecs ship with the JDK), fall back to `DecodeStub` — deterministic
+  * fakes keyed off the payload bytes — so the pipeline shape is total.
+  * Everything Spark-side is identical either way: the asset schema, the
   * mapPartitions batch shape (one decoder instance per partition, amortized
-  * across rows, exactly how a JNI/FFmpeg/JPEG decoder would be held), the
+  * across rows, exactly how a JNI/FFmpeg decoder would be held), the
   * partitioning knobs, and the output feature schema.
   */
 object Multimodal {
+
+  /** Pure-JDK image kernels (ImageIO + Graphics2D, headless-safe). */
+  object ImageCodec {
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Throwable => None }
+
+    /** Content-derived feature: average luminance over a 4x2 grid,
+      * unit-normed — the cheap real analogue of a visual embedding (same
+      * dim-8 contract as the stub). */
+    def luminanceFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+      val (gw, gh) = (4, 2)
+      val cells = new Array[Double](gw * gh)
+      val counts = new Array[Long](gw * gh)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          val cell = math.min(gh - 1, y * gh / img.getHeight) * gw +
+            math.min(gw - 1, x * gw / img.getWidth)
+          cells(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val raw = cells.indices.map(i =>
+        if (counts(i) == 0) 0f else (cells(i) / counts(i)).toFloat).toArray
+      val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat max 1e-9f
+      raw.map(_ / norm)
+    }
+
+    /** Aspect-preserving downscale into a maxW x maxH box, re-encoded PNG.
+      * Never upscales. */
+    def resizePng(img: java.awt.image.BufferedImage, maxW: Int, maxH: Int): Array[Byte] = {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      val (w, h) = (math.max(1, (img.getWidth * scale).round.toInt),
+        math.max(1, (img.getHeight * scale).round.toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic PNG generator (test fixture support). */
+    def syntheticPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + seed) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
 
   /** An opaque media payload + typed metadata. */
   case class MediaAsset(
@@ -73,33 +148,43 @@ object Multimodal {
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // (real code: open decoder handle here, once per partition)
+      // decoder state is partition-local (ImageIO caches readers per thread;
+      // a JNI decoder handle would be opened here once per partition)
       it.map { a =>
-        val (w, h) = DecodeStub.dims(a.payload)
-        MediaFeatures(
-          asset_id = a.asset_id,
-          kind = a.kind,
-          n_bytes = a.payload.length.toLong,
-          width = w,
-          height = h,
-          duration_ms = if (a.kind == "image") 0L else DecodeStub.durationMs(a.payload),
-          feature = DecodeStub.embed(a.payload))
+        val real = if (a.kind == "image") ImageCodec.decode(a.payload) else None
+        real match {
+          case Some(img) =>
+            MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+              img.getWidth, img.getHeight, 0L, ImageCodec.luminanceFeature(img))
+          case None =>
+            // non-image kinds and undecodable payloads: deterministic stub
+            val (w, h) = DecodeStub.dims(a.payload)
+            MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong, w, h,
+              if (a.kind == "image") 0L else DecodeStub.durationMs(a.payload),
+              DecodeStub.embed(a.payload))
+        }
       }
-      // (real code: close decoder handle via task-completion listener)
     }
   }
 
   /** Resize stage: binary→binary transform with target dims carried in the
-    * row (decode+re-encode stubbed: the fake payload is a digest of source
-    * bytes + target box, so downstream stages see distinct, deterministic
-    * payloads). Partition-local map, same no-shuffle shape as extract. */
+    * row. Decodable images get a REAL aspect-preserving bilinear downscale
+    * re-encoded as PNG (pure JDK); undecodable payloads get the
+    * deterministic digest stub so the stage stays total. Partition-local
+    * map, same no-shuffle shape as extract. */
   def resize(assets: Dataset[MediaAsset], maxW: Int, maxH: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val fake = java.security.MessageDigest.getInstance("MD5")
-          .digest(a.payload ++ s":$maxW:$maxH".getBytes("UTF-8"))
-        a.copy(payload = fake, mime = a.mime + s";resized=${maxW}x$maxH")
+        ImageCodec.decode(a.payload) match {
+          case Some(img) =>
+            a.copy(payload = ImageCodec.resizePng(img, maxW, maxH),
+              mime = s"image/png;resized=${maxW}x$maxH")
+          case None =>
+            val fake = java.security.MessageDigest.getInstance("MD5")
+              .digest(a.payload ++ s":$maxW:$maxH".getBytes("UTF-8"))
+            a.copy(payload = fake, mime = a.mime + s";resized=${maxW}x$maxH")
+        }
       }
     }
   }

@@ -50,6 +50,40 @@ class MultimodalSpec extends AnyFunSuite {
     out.foreach(a => assert(a.payload.toSeq == again(a.asset_id)))
   }
 
+  test("real image decode: ImageIO dims + content-derived luminance features") {
+    import spark.implicits._
+    val a = Multimodal.MediaAsset(1L, "image",
+      Multimodal.ImageCodec.syntheticPng(100, 40, seed = 7), "image/png")
+    val b = Multimodal.MediaAsset(2L, "image",
+      Multimodal.ImageCodec.syntheticPng(64, 64, seed = 9), "image/png")
+    val feats = Multimodal.extractFeatures(Seq(a, b).toDS()).collect().sortBy(_.asset_id)
+    assert(feats(0).width == 100 && feats(0).height == 40, "real decoded dims")
+    assert(feats(1).width == 64 && feats(1).height == 64)
+    feats.foreach { f =>
+      val norm = math.sqrt(f.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3)
+    }
+    assert(!feats(0).feature.sameElements(feats(1).feature),
+      "features must derive from pixel content")
+  }
+
+  test("real image resize: aspect-preserving downscale, decodable output, no upscale") {
+    import spark.implicits._
+    val png = Multimodal.ImageCodec.syntheticPng(200, 100, seed = 3)
+    val down = Multimodal.resize(
+      Seq(Multimodal.MediaAsset(1L, "image", png, "image/png")).toDS(), 64, 64)
+      .collect()(0)
+    val img = Multimodal.ImageCodec.decode(down.payload)
+      .getOrElse(fail("resized payload must be a decodable PNG"))
+    assert(img.getWidth == 64 && img.getHeight == 32, "aspect-preserving box fit")
+    assert(down.mime == "image/png;resized=64x64")
+    val same = Multimodal.resize(
+      Seq(Multimodal.MediaAsset(2L, "image", png, "image/png")).toDS(), 500, 500)
+      .collect()(0)
+    val img2 = Multimodal.ImageCodec.decode(same.payload).get
+    assert(img2.getWidth == 200 && img2.getHeight == 100, "never upscales")
+  }
+
   test("Graft.stream yields rows incrementally") {
     val g = Graft(spark)
     g.registerDir(SharedSpark.sf)
