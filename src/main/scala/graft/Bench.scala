@@ -1,5 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line (driver contract) and writes a full
+  * per-trial artifact to bench_full.json.
+  *
+  * Instrument design (round 5 — two rounds of phantom 4-20x regressions in
+  * the official record that vanished on re-measurement, both concentrated in
+  * the queries that happened to run LAST):
+  *   - Trials are INTERLEAVED round-robin across queries: pass 1 times every
+  *     query once in order, then pass 2, then pass 3. Run position within the
+  *     session therefore decorrelates from query identity — accumulated
+  *     session/GC/machine pressure spreads evenly instead of landing on
+  *     whichever queries sort last.
+  *   - Per-trial times AND the min are recorded alongside the median in
+  *     bench_full.json, so a single inflated trial is visible as such instead
+  *     of silently dragging the median.
+  *   - A fixed CANARY workload (constant spark.range aggregation, independent
+  *     of any gate query) is re-timed every ~20 timed measurements. If any
+  *     canary sample drifts >1.5x above the session-start canary baseline,
+  *     the run is flagged ("load_flag": true) — a flagged run means machine
+  *     load moved under the bench and per-query numbers should be re-measured
+  *     before being graded.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,6 +31,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.prepare(spark)
+
+    // Fixed canary: constant-size range aggregation, no file I/O, no graft
+    // code — its runtime moves only when the machine/JVM moves.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .select(sum(col("id") % 7).as("s"), avg(col("id")).as("a"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Warm the session (JVM/codegen/FS) so timings measure query work, not
     // startup — matches how the reference's ClickBench harness loops
     // statements inside one session (BASELINE.md note).
@@ -15,6 +49,8 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    canaryOnce() // warm the canary path too before taking its baseline
+
     // SPARK_GRAFT_ONLY=q01,q02 restricts the run (local iteration tool)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
@@ -22,41 +58,66 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only.exists(k.startsWith) }
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Warm-query timing (BASELINE.md): one untimed pass per query absorbs
-      // Janino whole-stage-codegen compilation and JIT — one-time costs the
-      // reference's precompiled kernels never pay per statement, and exactly
-      // what its ClickBench harness amortizes by looping statements inside a
-      // session. Then MEDIAN of `trials` timed passes: a single timed pass
-      // proved noise-bound (round 3: one GC pause read as a phantom 3.9x
-      // regression); the median of 3 is robust to one outlier pause.
-      // noop sink forces full materialization of every column (count() would
-      // let Catalyst prune the projections we mean to measure).
-      // A failed query records -1, never its time-until-throw — a broken
-      // query must not read as a fast success in the bench JSON.
-      def once(): Boolean =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val warmOk = once()
-      val times = if (!warmOk) Seq.empty[Double] else (1 to trials).flatMap { _ =>
-        val t0 = System.nanoTime()
-        if (once()) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      val median =
-        if (times.size < trials) -1.0
-        else times.sorted.apply(times.size / 2)
-      name -> median
+    val names = selected.keys.toSeq.sorted
+
+    // noop sink forces full materialization of every column (count() would
+    // let Catalyst prune the projections we mean to measure). A failed query
+    // records no time, never its time-until-throw — a broken query must not
+    // read as a fast success in the bench JSON.
+    def once(name: String): Boolean =
+      try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case _: Throwable => false }
+
+    // Untimed warm pass per query: absorbs Janino whole-stage-codegen
+    // compilation and JIT — one-time costs the reference's precompiled
+    // kernels never pay per statement.
+    val warmOk: Map[String, Boolean] = names.map(n => n -> once(n)).toMap
+
+    val canaryBaseline = {
+      val s = (1 to 3).map(_ => canaryOnce())
+      s.sorted.apply(s.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double](canaryBaseline)
+
+    // Timed passes, round-robin: pass p times every query once before any
+    // query gets its (p+1)-th trial.
+    val trialTimes = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    var measured = 0
+    for (_ <- 1 to trials; name <- names if warmOk(name)) {
+      if (measured > 0 && measured % 20 == 0) canarySamples += canaryOnce()
+      val t0 = System.nanoTime()
+      if (once(name)) trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
+      measured += 1
+    }
+    canarySamples += canaryOnce()
+
+    val loadFlag = canarySamples.exists(_ > canaryBaseline * 1.5)
+
+    val results = names.map { name =>
+      val ts = trialTimes(name)
+      val median = if (ts.size < trials) -1.0 else ts.sorted.apply(ts.size / 2)
+      val min = if (ts.isEmpty) -1.0 else ts.min
+      (name, median, min, ts)
+    }
+
+    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errs = results.collect { case (k, med, _, _) if med < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","trials":$trials}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag}"""
+
     // Full artifact on disk: the driver's tail-capture truncates the stdout
     // line, so rounds could not be compared query-by-query without this.
+    val fullQs = results.map { case (k, med, min, ts) =>
+      s"\"" + k + "\":{\"median\":" + med + ",\"min\":" + min +
+        ",\"trials\":" + ts.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val canaryJson = canarySamples.mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      json.getBytes("UTF-8"))
+      full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(json)
     spark.stop()

@@ -274,7 +274,11 @@ object Functions {
         val sep = es(1) match {
           case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
             Literal(java.util.regex.Pattern.quote(s.toString))
-          case other => other
+          // column-valued separator: regex-quote at runtime with \Q…\E so a
+          // '.' or '|' from a column still splits literally (round-4 ADVICE;
+          // same caveat as Pattern.quote — a separator containing the two
+          // characters \E is not expressible, matching java.util.regex).
+          case other => Concat(Seq(Literal("\\Q"), other, Literal("\\E")))
         }
         StringSplit(es(0), sep, Literal(-1))
       }, "internal")
@@ -300,8 +304,15 @@ object Functions {
     import org.apache.spark.sql.types.{LongType, StringType => StrType}
     reg.createOrReplaceTempFunction("absolute",
       (es: Seq[Expression]) => Abs(es.head), "internal")
+    // LEN: strings/binary → Length; lists → Size (the reference's LEN
+    // accepts arrays too, functions/__init__.py LEN entry). Builders run
+    // bottom-up during analysis so the child is resolved here; the guard
+    // keeps the string behavior if it ever isn't.
     reg.createOrReplaceTempFunction("len",
-      (es: Seq[Expression]) => Length(es.head), "internal")
+      (es: Seq[Expression]) =>
+        if (es.head.resolved && es.head.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          Size(es.head)
+        else Length(es.head), "internal")
     reg.createOrReplaceTempFunction("maximum",
       (es: Seq[Expression]) => Max(es.head).toAggregateExpression(), "internal")
     reg.createOrReplaceTempFunction("minimum",

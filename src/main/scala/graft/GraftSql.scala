@@ -477,9 +477,16 @@ object GraftSql {
         var q = p - 1
         while (q >= 0 && sql.charAt(q).isWhitespace) q -= 1
         val s2 = operandStart(sql, mask, q)
-        if (s2 >= 0 && s2 <= q) {
-          val operand = sql.substring(s2, q + 1).toLowerCase
-          if (!exprBoundaryKw.contains(operand)) { start = s2; changed = true }
+        val leftOperand =
+          if (s2 >= 0 && s2 <= q) Some(sql.substring(s2, q + 1).toLowerCase) else None
+        if (leftOperand.exists(op => !exprBoundaryKw.contains(op))) {
+          start = s2; changed = true
+        } else if (sql.charAt(p) == '-' || sql.charAt(p) == '+') {
+          // Chaining halted at a clause boundary (or string/paren start), so
+          // this sign is UNARY — fold it into the captured LHS; leaving it
+          // outside would apply `-` to the rewritten boolean CASE
+          // (`WHERE -5 > ALL (...)` must capture `-5`, not `5`).
+          start = p; changed = true
         }
       }
     }

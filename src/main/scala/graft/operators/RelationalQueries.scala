@@ -307,10 +307,17 @@ object RelationalQueries {
       FROM supplier JOIN customer ON s_acctbal > c_acctbal
       GROUP BY s_suppkey ORDER BY s_suppkey""")) { (s, dir) =>
       val bandW = 1000.0
+      // NULL acctbal rows are excluded up front: a NULL comparison joins
+      // nothing in the theta spelling, but floor(NULL/…) would land such
+      // rows in a bucket that the cumsum counts as "poorer". The testdata
+      // is non-null; this keeps the decomposition result-identical in
+      // general (round-4 ADVICE).
       val sup = Tables.df(s, dir, "supplier")
+        .filter(col("s_acctbal").isNotNull)
         .select(col("s_suppkey"), col("s_acctbal"),
           floor(col("s_acctbal") / bandW).cast("int").as("sb"))
       val cust = Tables.df(s, dir, "customer")
+        .filter(col("c_acctbal").isNotNull)
         .select(col("c_acctbal"), floor(col("c_acctbal") / bandW).cast("int").as("cb"))
       // Tiny bucket dimension (|domain|/bandW rows — ~11 for TPC-H acctbal):
       // per-bucket customer counts, cumulated to "customers strictly below

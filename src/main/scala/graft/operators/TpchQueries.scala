@@ -368,12 +368,18 @@ object TpchQueries {
         .filter(col("r_name") === "AFRICA")
         .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
       val reg = ps.join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
-      val minPerPart = reg.groupBy(col("l_partkey").as("mp_pk"))
-        .agg(min(col("supcost")).as("min_cost"))
-      Tables.df(s, dir, "part").filter(col("p_size") === 25)
-        .join(reg, col("p_partkey") === col("l_partkey"))
-        .join(minPerPart,
-          col("p_partkey") === col("mp_pk") && col("supcost") === col("min_cost"))
+      // Per-part min as a window over reg partitioned by l_partkey (the q69
+      // pattern): groups are bounded (suppliers per part), and reg's lineage
+      // — the dominant lineitem scan+aggregate — is evaluated ONCE. The
+      // aggregate + join-back spelling recomputed that lineage on both join
+      // inputs (round-4 plan audit: 9 scans, lineitem aggregated twice).
+      val wMin = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      val cheapest = reg.withColumn("min_cost", min(col("supcost")).over(wMin))
+        .filter(col("supcost") === col("min_cost"))
+      // part filtered to a single p_size is a small dim → broadcast it.
+      cheapest
+        .join(broadcast(Tables.df(s, dir, "part").filter(col("p_size") === 25)),
+          col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
           col("p_type"), col("supcost").as("ps_supplycost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))

@@ -40,7 +40,14 @@ object Formats {
     else if (lower.endsWith(".tsv") || lower.endsWith(".tsv.gz")) csvWith("\t")
     else if (lower.endsWith(".psv") || lower.endsWith(".psv.gz")) csvWith("|")
     else if (lower.endsWith(".jsonl.zst") || lower.endsWith(".json.zst"))
-      readJsonZstd(spark, path)
+      readJsonCompressed(spark, path,
+        in => new com.github.luben.zstd.ZstdInputStream(in))
+    else if (lower.endsWith(".jsonl.xz") || lower.endsWith(".json.xz"))
+      readJsonCompressed(spark, path,
+        in => new org.tukaani.xz.XZInputStream(in))
+    else if (lower.endsWith(".jsonl.lzma") || lower.endsWith(".json.lzma"))
+      readJsonCompressed(spark, path,
+        in => new org.tukaani.xz.LZMAInputStream(in))
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl")
       || lower.endsWith(".json.gz") || lower.endsWith(".jsonl.gz"))
       spark.read.json(path)
@@ -230,18 +237,22 @@ object Formats {
       schema)
   }
 
-  // ---------------------------------------------------------------- jsonl+zstd
+  // ------------------------------------------------- jsonl+zstd / jsonl+lzma
 
-  /** zstd-compressed JSONL. Hadoop's ZStandardCodec needs the native hadoop
-    * lib (absent here), so decompress with zstd-jni inside each task; each
-    * file is one task — acceptable because zstd frames aren't splittable
-    * anyway (the reference decompresses whole blobs too,
-    * file_decoders.py jsonl+zstd entry). */
-  private def readJsonZstd(spark: SparkSession, path: String): DataFrame = {
+  /** Compressed JSONL for codecs Hadoop can't decode here: zstd (Hadoop's
+    * ZStandardCodec needs the native hadoop lib, absent) and lzma/xz (no
+    * Hadoop codec at all; decoded with xz-java — XZInputStream for .xz
+    * containers, LZMAInputStream for raw legacy .lzma — reference
+    * file_decoders.py jsonl+lzma entry, which Python's lzma module likewise
+    * covers for both). Decompress inside each task; each file is one task —
+    * acceptable because neither frame format is splittable anyway (the
+    * reference decompresses whole blobs too). */
+  private def readJsonCompressed(spark: SparkSession, path: String,
+      wrap: java.io.InputStream => java.io.InputStream): DataFrame = {
     import spark.implicits._
     val lines: Dataset[String] = spark.sparkContext.binaryFiles(path)
       .flatMap { case (_, stream) =>
-        val in = new com.github.luben.zstd.ZstdInputStream(stream.open())
+        val in = wrap(stream.open())
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       }.toDS()

@@ -58,6 +58,25 @@ class FormatsSpec extends AnyFunSuite {
     assert(canon(Formats.read(spark, out)) == expected)
   }
 
+  test("jsonl+xz round-trip") {
+    val rows = nation.toJSON.collect().mkString("\n")
+    val out = s"$tmp/nation.jsonl.xz"
+    val os = new java.io.FileOutputStream(out)
+    val xs = new org.tukaani.xz.XZOutputStream(os, new org.tukaani.xz.LZMA2Options())
+    xs.write(rows.getBytes("UTF-8")); xs.close()
+    assert(canon(Formats.read(spark, out)) == expected)
+  }
+
+  test("jsonl+lzma (raw legacy container) round-trip") {
+    val rows = nation.toJSON.collect().mkString("\n")
+    val out = s"$tmp/nation.jsonl.lzma"
+    val os = new java.io.FileOutputStream(out)
+    // LZMAOutputStream with known size -1 writes the raw .lzma header
+    val ls = new org.tukaani.xz.LZMAOutputStream(os, new org.tukaani.xz.LZMA2Options(), -1L)
+    ls.write(rows.getBytes("UTF-8")); ls.close()
+    assert(canon(Formats.read(spark, out)) == expected)
+  }
+
   test("orc round-trip") {
     val p = s"$tmp/nation.orc"
     nation.write.mode("overwrite").orc(p)

@@ -28,15 +28,21 @@ class GoldenResultsSpec extends AnyFunSuite {
     if (n.isNull) "<null>"
     else if (n.isBoolean) n.asBoolean.toString
     else if (n.isIntegralNumber) n.asLong.toString
-    else if (n.isFloatingPointNumber) n.asDouble.toString
+    // integral-valued floats normalize to the integer rendering, mirroring
+    // canonCell, so a golden file may store 210 or 210.0 for a double column
+    else if (n.isFloatingPointNumber) canonDouble(n.asDouble)
     else n.asText
+
+  private def canonDouble(d: Double): String =
+    if (!d.isInfinite && !d.isNaN && d == d.longValue.toDouble) d.longValue.toString
+    else d.toString
 
   private def canonCell(v: Any): String = v match {
     case null => "<null>"
     case b: java.lang.Boolean => b.toString
-    case d: java.lang.Double => if (d == d.longValue.toDouble) d.toString else d.toString
-    case f: java.lang.Float => f.toDouble.toString
-    case bd: java.math.BigDecimal => bd.doubleValue.toString
+    case d: java.lang.Double => canonDouble(d)
+    case f: java.lang.Float => canonDouble(f.toDouble)
+    case bd: java.math.BigDecimal => canonDouble(bd.doubleValue)
     case n: java.lang.Number => n.toString
     case other => other.toString
   }

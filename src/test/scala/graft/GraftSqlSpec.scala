@@ -291,6 +291,31 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(one("SELECT 3 != ANY (SELECT * FROM VALUES (3), (4) AS t(v)) AS r").getBoolean(0))
     assert(!one("SELECT 3 != ANY (SELECT * FROM VALUES (3), (3) AS t(v)) AS r").getBoolean(0))
     assert(!one("SELECT 3 != ANY (SELECT v FROM (SELECT 1 AS v) WHERE v > 10) AS r").getBoolean(0))
+    // unary-minus LHS: the sign folds INTO the captured operand (round-4
+    // ADVICE — `-5` must not become `-(CASE ...)`), incl. WHERE context
+    assert(one("SELECT -5 > ALL (SELECT * FROM VALUES (-7), (-9) AS t(v)) AS r").getBoolean(0))
+    assert(!one("SELECT -5 > ALL (SELECT * FROM VALUES (-3) AS t(v)) AS r").getBoolean(0))
+    assert(one("SELECT -5 = ANY (SELECT * FROM VALUES (-5), (1) AS t(v)) AS r").getBoolean(0))
+    assert(g.query(
+      "SELECT count(*) AS n FROM nation WHERE -5 > ALL (SELECT -n_nationkey - 1 FROM nation WHERE n_nationkey >= 5)")
+      .head().getLong(0) == 25L)
+    // binary minus still chains: whole arithmetic LHS is captured
+    assert(one("SELECT 10 - 5 = ANY (SELECT * FROM VALUES (5) AS t(v)) AS r").getBoolean(0))
+  }
+
+  test("string_split treats a column-valued separator literally; LEN sizes arrays") {
+    // '.' from a column must split literally, not as regex-any-char
+    val r = g.query(
+      "SELECT string_split(s, sep) AS parts FROM (SELECT 'a.b.c' AS s, '.' AS sep)")
+      .head().getSeq[String](0)
+    assert(r == Seq("a", "b", "c"))
+    val pipe = g.query(
+      "SELECT string_split(s, sep) AS parts FROM (SELECT 'x|y' AS s, '|' AS sep)")
+      .head().getSeq[String](0)
+    assert(pipe == Seq("x", "y"))
+    // reference LEN accepts lists as well as strings (functions registry)
+    assert(g.query("SELECT len(string_split('a b c', ' ')) AS n").head().getInt(0) == 3)
+    assert(g.query("SELECT len('abcd') AS n").head().getInt(0) == 4)
   }
 
   test("cast spellings: SAFE_CAST, bare VARCHAR, BLOB, EXTRACT(EPOCH)") {
