@@ -73,6 +73,29 @@ class Graft(val spark: SparkSession) {
     graft.sources.Iceberg.scan(spark, table, tt).createOrReplaceTempView(name)
   }
 
+  // -- row-level visibility filters ---------------------------------------
+  // (reference: logical_planner.py:1116-1145 apply_visibility_filters via
+  // binder/__init__.py:216 — per-relation DNF injected above every scan)
+
+  private val visibilityBase = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Install a row-level visibility filter on `table`: every subsequent
+    * resolution of the table — any query, any alias, any join position —
+    * sees only rows satisfying the DNF ([[Visibility]] documents the
+    * clause model; empty DNF hides the relation). The filter view wraps
+    * the CURRENT base relation, the same mechanism as temporal `FOR`, so
+    * simple predicates push down to the scan. Re-registering the table
+    * (registerDir/registerDf) replaces the wrapped view and drops the
+    * filter — call setVisibilityFilters again after re-registration. */
+  def setVisibilityFilters(table: String, dnf: Visibility.Dnf): Unit = {
+    val base = visibilityBase.getOrElseUpdate(table, spark.table(table))
+    base.filter(Visibility.toColumn(dnf)).createOrReplaceTempView(table)
+  }
+
+  /** Remove a visibility filter, restoring the unfiltered relation. */
+  def clearVisibilityFilters(table: String): Unit =
+    visibilityBase.remove(table).foreach(_.createOrReplaceTempView(table))
+
   /** Register a Hive-partitioned dataset (e.g. `.../dt=2024-01-01/part-0.parquet`)
     * with its partition column as the temporal axis: `FOR` clauses then
     * become partition-pruned scans (the reference's partitioned Diachronic

@@ -184,6 +184,34 @@ object RelationalQueries3 {
       val ln = col("l_linenumber").cast("bigint")
       Tables.df(s, dir, "lineitem")
         .agg(bit_and(ln).as("b_and"), bit_or(ln).as("b_or"), bit_xor(ln).as("b_xor"))
+    },
+
+    // Row-level visibility filters (reference: logical_planner.py:1116-1145
+    // apply_visibility_filters) — a per-relation DNF installed on the engine
+    // is enforced at every resolution of the relation, here on the probe
+    // side of a join; the oracle spells the same DNF inline. The filter is
+    // an ordinary Catalyst Filter above the scan, so it pushes down
+    // (GraftSqlSpec asserts PushedFilters).
+    QueryDef("q90_visibility_filters", Some("""
+      SELECT c_nationkey, count(*) AS n,
+             CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING' OR (c_mktsegment = 'MACHINERY' AND c_acctbal > 0.0)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
+      val g = graft.Graft(s)
+      g.registerDir(dir)
+      g.setVisibilityFilters("customer", Seq(
+        Seq(("c_mktsegment", "Eq", "BUILDING")),
+        Seq(("c_mktsegment", "Eq", "MACHINERY"), ("c_acctbal", "Gt", 0.0))))
+      // the query itself carries no WHERE — all filtering is the installed DNF
+      val df = g.query("""
+        SELECT c_nationkey, count(*) AS n,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS bal
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+      // restore session state: gate queries share one SparkSession (the
+      // returned DataFrame is already analyzed, so clearing is safe)
+      g.clearVisibilityFilters("customer")
+      df
     }
   )
 }

@@ -303,6 +303,50 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(one("SELECT 10 - 5 = ANY (SELECT * FROM VALUES (5) AS t(v)) AS r").getBoolean(0))
   }
 
+  test("visibility filters: DNF injected at every resolution, pushed to the scan") {
+    val totalNation = g.query("SELECT count(*) AS n FROM nation").head().getLong(0)
+    // OR of two clauses, one with an AND pair
+    g.setVisibilityFilters("nation", Seq(
+      Seq(("n_regionkey", "Eq", 1)),
+      Seq(("n_regionkey", "Eq", 2), ("n_nationkey", "Lt", 100))))
+    try {
+      // the filter applies under any spelling: bare scan, alias, join side
+      val n1 = g.query("SELECT count(*) AS n FROM nation").head().getLong(0)
+      val n2 = g.query("SELECT count(*) AS n FROM nation AS x WHERE x.n_nationkey >= 0")
+        .head().getLong(0)
+      assert(n1 == n2 && n1 < totalNation && n1 > 0)
+      val joined = g.query(
+        "SELECT count(*) AS n FROM region JOIN nation ON r_regionkey = n_regionkey")
+        .head().getLong(0)
+      assert(joined == n1)
+      // pushdown: the visibility predicate reaches the parquet scan
+      val plan = g.query("SELECT n_name FROM nation").queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+        s"visibility filter must push to the scan:\n$plan")
+      // empty DNF hides the relation (reference's TRUE=FALSE injection)
+      g.setVisibilityFilters("nation", Seq.empty)
+      assert(g.query("SELECT count(*) AS n FROM nation").head().getLong(0) == 0L)
+    } finally g.clearVisibilityFilters("nation")
+    assert(g.query("SELECT count(*) AS n FROM nation").head().getLong(0) == totalNation)
+  }
+
+  test("visibility filters: InList / Like / IsNull operators") {
+    g.setVisibilityFilters("region", Seq(Seq(("r_name", "InList", Seq("AFRICA", "ASIA")))))
+    try {
+      val names = g.query("SELECT r_name FROM region ORDER BY r_name")
+        .collect().map(_.getString(0)).toSeq
+      assert(names == Seq("AFRICA", "ASIA"))
+    } finally g.clearVisibilityFilters("region")
+    g.setVisibilityFilters("region", Seq(Seq(("r_name", "Like", "AMER%"))))
+    try
+      assert(g.query("SELECT count(*) AS n FROM region").head().getLong(0) == 1L)
+    finally g.clearVisibilityFilters("region")
+    g.setVisibilityFilters("region", Seq(Seq(("r_name", "IsNotNull", null))))
+    try
+      assert(g.query("SELECT count(*) AS n FROM region").head().getLong(0) == 5L)
+    finally g.clearVisibilityFilters("region")
+  }
+
   test("string_split treats a column-valued separator literally; LEN sizes arrays") {
     // '.' from a column must split literally, not as regex-any-char
     val r = g.query(
