@@ -96,10 +96,12 @@ object PipelineQueries3 {
     // 3-4 rounds at any corpus size. The per-round convergence check is a
     // scalar aggregate (count of changed labels), never a row collect, and
     // each round's result is localCheckpoint'ed so the plan/lineage stays
-    // constant-size. For adversarial long-chain graphs swap the body for the
-    // alternating large-star/small-star rounds (Kiveris et al., "Connected
-    // Components in MapReduce and Beyond") — same join/agg primitives,
-    // O(log^2 n) rounds.
+    // constant-size. For adversarial long-chain graphs p29 runs the same
+    // resolution through the alternating large-star/small-star rounds
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    // [[ConnectedComponents.largeSmallStar]]) — O(log^2 n) rounds
+    // regardless of diameter; ConnectedComponentsSpec proves both strategies
+    // agree and that star rounds beat O(diameter) on a 200-node chain.
     QueryDef("p18_dedup_components", Some(s"""
       WITH RECURSIVE $pairsCte,
       edges AS (
@@ -115,26 +117,35 @@ object PipelineQueries3 {
       SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
       FROM reach GROUP BY node ORDER BY doc_id""")) { (s, dir) =>
       val pairs = minhashPairs(s, dir)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("comp", col("node"))
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 25) {
-        val nbrMin = edges.join(labels, col("dst") === col("node"))
-          .groupBy(col("src").as("n2")).agg(min(col("comp")).as("nmin"))
-        val stepped = labels.join(nbrMin, col("node") === col("n2"), "left")
-          .select(col("node"), col("comp"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
-          .localCheckpoint()
-        changed = stepped.filter(col("comp2") =!= col("comp")).count()
-        labels = stepped.select(col("node"), col("comp2").as("comp"))
-        rounds += 1
-      }
-      labels.select(col("node").as("doc_id"), col("comp").as("component"))
+      ConnectedComponents.minLabelPropagation(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("node").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The same duplicate-cluster resolution through the large-star/
+    // small-star rounds — the robustness tier whose round count is
+    // O(log^2 n) in the worst case instead of O(diameter), for graphs
+    // where transitive similarity chains make components long and thin.
+    // Same oracle as p18: both strategies compute min-reachable-id.
+    QueryDef("p29_dedup_components_star", Some(s"""
+      WITH RECURSIVE $pairsCte,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT e.dst AS node, reach.r AS r
+        FROM reach JOIN edges e ON e.src = reach.node)
+      SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+      FROM reach GROUP BY node ORDER BY doc_id""")) { (s, dir) =>
+      val pairs = minhashPairs(s, dir)
+      ConnectedComponents.largeSmallStar(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("node").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))
     },
 
