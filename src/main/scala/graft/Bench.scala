@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE JSON line (driver contract) and writes a full
@@ -58,64 +58,74 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only.exists(k.startsWith) }
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    val names = selected.keys.toSeq.sorted
-
-    // noop sink forces full materialization of every column (count() would
-    // let Catalyst prune the projections we mean to measure). A failed query
-    // records no time, never its time-until-throw — a broken query must not
-    // read as a fast success in the bench JSON.
-    def once(name: String): Boolean =
-      try { selected(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case _: Throwable => false }
-
-    // Untimed warm pass per query: absorbs Janino whole-stage-codegen
-    // compilation and JIT — one-time costs the reference's precompiled
-    // kernels never pay per statement.
-    val warmOk: Map[String, Boolean] = names.map(n => n -> once(n)).toMap
 
     val canaryBaseline = {
       val s = (1 to 3).map(_ => canaryOnce())
       s.sorted.apply(s.size / 2)
     }
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double](canaryBaseline)
-
-    // Timed passes, round-robin: pass p times every query once before any
-    // query gets its (p+1)-th trial.
-    val trialTimes = scala.collection.mutable.Map[String, Vector[Double]]()
-      .withDefaultValue(Vector.empty)
     var measured = 0
-    for (_ <- 1 to trials; name <- names if warmOk(name)) {
-      if (measured > 0 && measured % 20 == 0) canarySamples += canaryOnce()
-      val t0 = System.nanoTime()
-      if (once(name)) trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
-      measured += 1
+
+    /** Interleaved measurement of one query set: an untimed warm pass per
+      * query (absorbs Janino whole-stage-codegen compilation and JIT —
+      * one-time costs the reference's precompiled kernels never pay per
+      * statement), then `trials` round-robin timed passes. The noop sink
+      * forces full materialization of every column (count() would let
+      * Catalyst prune the projections we mean to measure). A failed query
+      * records no time, never its time-until-throw — a broken query must
+      * not read as a fast success in the bench JSON. */
+    def measure(qs: Map[String, (SparkSession, String) => DataFrame])
+        : Seq[(String, Double, Double, Vector[Double])] = {
+      val names = qs.keys.toSeq.sorted
+      def once(name: String): Boolean =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val warmOk: Map[String, Boolean] = names.map(n => n -> once(n)).toMap
+      val trialTimes = scala.collection.mutable.Map[String, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      for (_ <- 1 to trials; name <- names if warmOk(name)) {
+        if (measured > 0 && measured % 20 == 0) canarySamples += canaryOnce()
+        val t0 = System.nanoTime()
+        if (once(name)) trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
+        measured += 1
+      }
+      names.map { name =>
+        val ts = trialTimes(name)
+        val median = if (ts.size < trials) -1.0 else ts.sorted.apply(ts.size / 2)
+        val min = if (ts.isEmpty) -1.0 else ts.min
+        (name, median, min, ts)
+      }
     }
+
+    val results = measure(selected)
+    // ClickBench-shaped perf corpus (separate section, same instrument);
+    // skipped when SPARK_GRAFT_ONLY narrows the run or CLICKBENCH=0
+    val cbResults =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_CLICKBENCH").contains("0"))
+        Seq.empty[(String, Double, Double, Vector[Double])]
+      else measure(ClickBench.queries)
     canarySamples += canaryOnce()
 
     val loadFlag = canarySamples.exists(_ > canaryBaseline * 1.5)
 
-    val results = names.map { name =>
-      val ts = trialTimes(name)
-      val median = if (ts.size < trials) -1.0 else ts.sorted.apply(ts.size / 2)
-      val min = if (ts.isEmpty) -1.0 else ts.min
-      (name, median, min, ts)
-    }
+    def medJson(rs: Seq[(String, Double, Double, Vector[Double])]): String =
+      rs.map { case (k, med, _, _) => s"\"" + k + "\":" + med }.mkString("{", ",", "}")
+    def fullJson(rs: Seq[(String, Double, Double, Vector[Double])]): String =
+      rs.map { case (k, med, min, ts) =>
+        s"\"" + k + "\":{\"median\":" + med + ",\"min\":" + min +
+          ",\"trials\":" + ts.mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}")
 
-    val qs = results.map { case (k, med, _, _) => s"\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errs = results.collect { case (k, med, _, _) if med < 0 => "\"" + k + "\"" }
+    val cbTotal = cbResults.map(_._2).filter(_ >= 0).sum
+    val errs = (results ++ cbResults).collect { case (k, med, _, _) if med < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${medJson(results)},"clickbench":${medJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag}"""
 
     // Full artifact on disk: the driver's tail-capture truncates the stdout
     // line, so rounds could not be compared query-by-query without this.
-    val fullQs = results.map { case (k, med, min, ts) =>
-      s"\"" + k + "\":{\"median\":" + med + ",\"min\":" + min +
-        ",\"trials\":" + ts.mkString("[", ",", "]") + "}"
-    }.mkString("{", ",", "}")
     val canaryJson = canarySamples.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
