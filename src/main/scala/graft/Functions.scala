@@ -295,6 +295,25 @@ object Functions {
     // NORMAL() — standard-normal random (reference: functions/__init__.py:582)
     reg.createOrReplaceTempFunction("normal",
       (_: Seq[Expression]) => new Randn(), "internal")
+    // Bloom-filter surface: Spark's runtime-filter expressions, exposed as
+    // SQL functions so an incremental-dedup query can build the snapshot
+    // bloom as a SCALAR SUBQUERY — evaluated lazily at execution, broadcast
+    // as a literal, never a driver-side job at plan-construction time
+    // (p26; the reference maintains bloom filters inside its join kernels,
+    // opteryx/compiled/structures/bloom_filter.pyx).
+    // bloom_filter_agg(xxhash64(col)[, est_items[, num_bits]]) → binary
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      (es: Seq[Expression]) => (es.length match {
+        case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0))
+        case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1))
+        case _ => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1), es(2))
+      }).toAggregateExpression(), "internal")
+    // might_contain(bloom, xxhash64(col)) — bloom must be foldable or a
+    // scalar subquery (Spark's own runtime-filter contract)
+    reg.createOrReplaceTempFunction("might_contain",
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)),
+      "internal")
     // Round-4 parity sweep vs the reference registry
     // (opteryx/functions/__init__.py:508-659) — remaining spellings Spark
     // lacks or spells differently. All are thin Catalyst compositions

@@ -16,17 +16,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    // Normalize nano-precision timestamps (read as long nanos under
-    // spark.sql.legacy.parquet.nanosAsLong) to µs TIMESTAMP_NTZ — same
-    // truncation DuckDB applies, so oracle comparisons line up.
-    raw.schema.fields.collect {
-      case f if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType => f.name
-    }.foldLeft(raw) { (d, c) =>
-      d.withColumn(c, org.apache.spark.sql.functions.expr(s"cast(timestamp_micros($c div 1000) as timestamp_ntz)"))
-    }
-  }
+  // Memoized per (session, dir, name): a DataFrame is an immutable plan, and
+  // re-running `spark.read.parquet` for every QueryDef construction fired a
+  // redundant schema-inference JOB per read — hundreds across a Verify pass,
+  // and the reason plan-only consumers (PlanAudit) paid cluster time
+  // (round-4 ADVICE). The testdata files are immutable for a session's
+  // lifetime, so the cache never invalidates.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), { _ =>
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // Normalize nano-precision timestamps (read as long nanos under
+      // spark.sql.legacy.parquet.nanosAsLong) to µs TIMESTAMP_NTZ — same
+      // truncation DuckDB applies, so oracle comparisons line up.
+      raw.schema.fields.collect {
+        case f if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType => f.name
+      }.foldLeft(raw) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.expr(s"cast(timestamp_micros($c div 1000) as timestamp_ntz)"))
+      }
+    })
 
   /** Register every testdata table as a temp view so `spark.sql` and the
     * DuckDB oracle address tables by the same names. */

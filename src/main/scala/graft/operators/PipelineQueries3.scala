@@ -185,13 +185,17 @@ object PipelineQueries3 {
     // a held-out benchmark set? Benchmark = every 20th document (stand-in
     // for the real eval suites); overlap = distinct shared 5-gram count.
     //
-    // Scale shape: the benchmark side is small (real eval suites are) and
-    // BROADCAST — but guarded: broadcastIfSmall probes the gram count and
-    // falls back to a shuffle join past 2M grams, so a mis-sized benchmark
-    // side degrades to a slower-but-safe plan instead of OOMing the
-    // executors. The corpus side is map-only shingling followed by one
-    // hash-join on the shingle and a partial-aggregated count. Reported
-    // pairs are thresholded (>= 3 shared 5-grams) to keep output sparse.
+    // Scale shape: the benchmark side is small (real eval suites are), and
+    // the broadcast decision is left to AQE's runtime re-plan — the shuffle
+    // join converts to broadcast only when the bench side's ACTUAL runtime
+    // size is under the adaptive threshold, so a mis-sized benchmark side
+    // degrades to a slower-but-safe shuffle plan instead of OOMing the
+    // executors, and plan construction triggers zero driver-side jobs
+    // (round-4 ADVICE replaced the eager broadcastIfSmall count probe; the
+    // probe utility remains for callers that must decide pre-AQE). The
+    // corpus side is map-only shingling followed by one hash-join on the
+    // shingle and a partial-aggregated count. Reported pairs are
+    // thresholded (>= 3 shared 5-grams) to keep output sparse.
     QueryDef("p20_contamination", Some("""
       WITH grams AS (
         SELECT doc_id, unnest(list_distinct(g)) AS g FROM (
@@ -212,7 +216,7 @@ object PipelineQueries3 {
       val bench = grams.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
       val corpus = grams.filter(col("doc_id") % 20 =!= 0)
-      corpus.join(broadcastIfSmall(bench, 2000000), "g")
+      corpus.join(bench, "g")
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(countDistinct(col("g")).as("shared_grams"))
         .filter(col("shared_grams") >= 3)

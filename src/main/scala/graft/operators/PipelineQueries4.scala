@@ -166,42 +166,48 @@ object PipelineQueries4 {
     // only the (mightContain) sliver is exactly confirmed with an anti-join,
     // so false positives cannot leak into the output.
     //
-    // Scale shape: the bloom build is a treeAggregate (no row collect), and
-    // its expectedNumItems is sized from an actual snapshot count so fpp
-    // cannot silently degrade as the snapshot grows (shard by hash prefix
-    // past single-filter sizes); the confirm anti-join sees only the
-    // bloom-positive fraction (~fpp of the genuinely-new rows plus the true
-    // dups) instead of the whole batch. This mirrors Spark's own runtime
-    // bloom-filter join pushdown, applied cross-snapshot.
+    // Scale shape: the bloom is built IN THE PLAN — a `bloom_filter_agg`
+    // scalar subquery (Spark's runtime-filter aggregate, registered in
+    // Functions) evaluated lazily at execution time and inlined as a
+    // broadcast literal, with ReuseSubquery collapsing the two probe
+    // branches onto one build. Plan-only consumers (PlanAudit, explain)
+    // trigger ZERO jobs (round-4 ADVICE; listener-asserted in
+    // PlanPropertiesSpec). Sizing is a static estimate rather than a
+    // driver-side count: an undersized estimate only raises the bloom fpp
+    // — more rows through the confirm join, never a wrong result; shard by
+    // hash prefix past single-filter sizes. The confirm anti-join sees only
+    // the bloom-positive fraction (~fpp of the genuinely-new rows plus the
+    // true dups) instead of the whole batch.
     //
-    // NOTE both the count and stat.bloomFilter are EAGER Spark actions at
-    // DataFrame-construction time: plan-only consumers of this QueryDef
-    // (plan captures, explain) still pay two real aggregation jobs.
     // Non-null assumption: content hashes are md5(text) over non-null text;
     // the oracle's NOT IN matches the anti-join only under that assumption
-    // (a NULL key would empty NOT IN while left_anti keeps the row), and
-    // the UDF below guards null defensively rather than NPE-ing.
+    // (a NULL key would empty NOT IN while left_anti keeps the row).
     QueryDef("p26_bloom_incremental", Some("""
       WITH snap AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
       batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0)
       SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, h
       FROM batch WHERE h NOT IN (SELECT h FROM snap)
       GROUP BY h ORDER BY doc_id""")) { (s, dir) =>
-      val withH = Tables.df(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text")).as("h"))
-      val snap = withH.filter(col("doc_id") % 3 === 0).select(col("h"))
-      val batch = withH.filter(col("doc_id") % 3 =!= 0)
-      val snapN = math.max(snap.count(), 1000L)
-      val bf = snap.stat.bloomFilter("h", snapN, 0.01)
-      val might = udf((v: String) => v != null && bf.mightContainString(v))
-      val definitelyNew = batch.filter(!might(col("h")))
-      val confirmedNew = batch.filter(might(col("h")))
-        .join(snap, Seq("h"), "left_anti")
-      definitelyNew.select(col("doc_id"), col("h"))
-        .union(confirmedNew.select(col("doc_id"), col("h")))
-        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("h"))
-        .orderBy(col("doc_id"))
+      Tables.df(s, dir, "documents").createOrReplaceTempView("p26_documents")
+      s.sql("""
+        WITH snap AS (
+          SELECT md5(text) AS h FROM p26_documents WHERE doc_id % 3 = 0),
+        batch AS (
+          SELECT doc_id, md5(text) AS h FROM p26_documents WHERE doc_id % 3 <> 0),
+        definitely_new AS (
+          SELECT doc_id, h FROM batch
+          WHERE NOT might_contain(
+            (SELECT bloom_filter_agg(xxhash64(h), 1000000L) FROM snap),
+            xxhash64(h))),
+        confirmed_new AS (
+          SELECT b.doc_id, b.h FROM batch b
+          LEFT ANTI JOIN snap ON b.h = snap.h
+          WHERE might_contain(
+            (SELECT bloom_filter_agg(xxhash64(h), 1000000L) FROM snap),
+            xxhash64(b.h)))
+        SELECT min(doc_id) AS doc_id, h
+        FROM (SELECT * FROM definitely_new UNION ALL SELECT * FROM confirmed_new)
+        GROUP BY h ORDER BY doc_id""")
     },
 
     // ------------------------------------------------- source auditing

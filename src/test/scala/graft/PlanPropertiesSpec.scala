@@ -207,5 +207,42 @@ class PlanPropertiesSpec extends AnyFunSuite {
   test("p26 (bloom incremental): exact confirm is an anti-join after the bloom prefilter") {
     val plan = planOf(run("p26_bloom_incremental")).toString
     assert(plan.contains("LeftAnti"), s"confirm stage must be a left-anti join:\n$plan")
+    assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+      s"bloom prefilter must be in the plan (scalar-subquery bloom_filter_agg):\n$plan")
+  }
+
+  test("plan-only construction triggers no Spark jobs (p20 probe, p26 bloom — round-4 ADVICE)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        seen.add(js.stageInfos.map(_.name).mkString("; "))
+        ()
+      }
+    }
+    // pre-warm parquet schema/file-listing caches: the first read of a
+    // table fires a metadata job regardless of the query shape, and that
+    // is not what this test polices
+    run("p20_contamination").queryExecution.executedPlan
+    run("p26_bloom_incremental").queryExecution.executedPlan
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construct + compile the physical plan, never execute
+      run("p20_contamination").queryExecution.executedPlan
+      run("p26_bloom_incremental").queryExecution.executedPlan
+      // sentinel job: once the listener has seen it, all prior events (the
+      // bus is FIFO) have drained; under AQE the sentinel may appear as
+      // several CompletableFuture-stage jobs, so the assertion filters to
+      // jobs rooted in graft code (scans, probes, bloom builds)
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      val offenders = seen.toArray(Array.empty[String]).filter(s =>
+        s.contains("Tables.scala") || s.contains("PipelineQueries") ||
+          s.contains("bloomFilter") || s.contains("count at PipelineQueries"))
+      assert(offenders.isEmpty,
+        s"plan-only construction must trigger zero graft jobs, saw: ${offenders.mkString(" | ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
