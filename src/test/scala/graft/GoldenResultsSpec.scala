@@ -50,7 +50,7 @@ class GoldenResultsSpec extends AnyFunSuite {
   private val files = Option(dir.listFiles()).getOrElse(Array.empty)
     .filter(_.getName.endsWith(".json")).sortBy(_.getName)
 
-  assert(files.length >= 12, s"golden corpus shrank: ${files.length} files")
+  assert(files.length >= 34, s"golden corpus shrank: ${files.length} files")
 
   files.foreach { f =>
     val spec = om.readTree(f)
