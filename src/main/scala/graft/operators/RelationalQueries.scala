@@ -306,41 +306,12 @@ object RelationalQueries {
       SELECT s_suppkey, count(*) AS n_poorer
       FROM supplier JOIN customer ON s_acctbal > c_acctbal
       GROUP BY s_suppkey ORDER BY s_suppkey""")) { (s, dir) =>
-      val bandW = 1000.0
-      // NULL acctbal rows are excluded up front: a NULL comparison joins
-      // nothing in the theta spelling, but floor(NULL/…) would land such
-      // rows in a bucket that the cumsum counts as "poorer". The testdata
-      // is non-null; this keeps the decomposition result-identical in
-      // general (round-4 ADVICE).
-      val sup = Tables.df(s, dir, "supplier")
-        .filter(col("s_acctbal").isNotNull)
-        .select(col("s_suppkey"), col("s_acctbal"),
-          floor(col("s_acctbal") / bandW).cast("int").as("sb"))
-      val cust = Tables.df(s, dir, "customer")
-        .filter(col("c_acctbal").isNotNull)
-        .select(col("c_acctbal"), floor(col("c_acctbal") / bandW).cast("int").as("cb"))
-      // Tiny bucket dimension (|domain|/bandW rows — ~11 for TPC-H acctbal):
-      // per-bucket customer counts, cumulated to "customers strictly below
-      // bucket b". The single-partition window is over this dimension, never
-      // the data. Buckets present only on the supplier side still need a row
-      // (their below-count is the cumsum), hence the union of both sides.
-      val buckets = sup.select(col("sb").as("b")).distinct()
-        .union(cust.select(col("cb").as("b")).distinct()).distinct()
-      val perBucket = cust.groupBy(col("cb")).agg(count(lit(1)).as("bn"))
-      val below = buckets.join(perBucket, col("b") === col("cb"), "left")
-        .select(col("b"), coalesce(col("bn"), lit(0L)).as("bn"))
-        .withColumn("below", coalesce(
-          sum(col("bn")).over(Window.orderBy(col("b"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("b").as("sb"), col("below"))
-      val fromBelow = sup.join(broadcast(below), Seq("sb"), "left")
-        .select(col("s_suppkey"), coalesce(col("below"), lit(0L)).as("part"))
-      val fromSame = sup
-        .join(cust, col("sb") === col("cb") && col("s_acctbal") > col("c_acctbal"))
-        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("part"))
-      fromBelow.unionByName(fromSame)
-        .groupBy(col("s_suppkey")).agg(sum(col("part")).as("n_poorer"))
-        .filter(col("n_poorer") > 0)
+      // Decomposition factored into BandedThetaJoin.poorerCount (NULL
+      // handling + band mechanics documented there; NULL-bearing
+      // result-identity proven in BandedThetaJoinSpec).
+      BandedThetaJoin.poorerCount(
+        Tables.df(s, dir, "supplier"), Tables.df(s, dir, "customer"),
+        "s_suppkey", "s_acctbal", "c_acctbal", bandWidth = 1000.0)
         .orderBy(col("s_suppkey"))
     },
 
