@@ -106,7 +106,13 @@ object Bench {
       else measure(ClickBench.queries)
     canarySamples += canaryOnce()
 
-    val loadFlag = canarySamples.exists(_ > canaryBaseline * 1.5)
+    // Sustained drift only: a single elevated sample is ordinary GC/
+    // scheduling noise at the canary's ~0.2s scale (the per-query median
+    // already tolerates one outlier trial); TWO CONSECUTIVE elevated
+    // samples mean the machine moved under the bench for a whole stretch
+    // of measurements, which is what should invalidate the run.
+    val loadFlag = canarySamples.toSeq.sliding(2).exists(w =>
+      w.length == 2 && w.forall(_ > canaryBaseline * 1.5))
 
     def medJson(rs: Seq[(String, Double, Double, Vector[Double])]): String =
       rs.map { case (k, med, _, _) => s"\"" + k + "\":" + med }.mkString("{", ",", "}")

@@ -90,12 +90,25 @@ object ConnectedComponents {
       .localCheckpoint()
     var rounds = 0
     var converged = false
+    // Convergence in two tiers: a CHEAP per-round fingerprint — one scalar
+    // aggregate computing (count, bit_xor of xxhash64) over the edge set
+    // (xor: order-independent, overflow-free under ANSI, and the sets are
+    // distinct so self-cancellation can't occur) — detects candidate fixed
+    // points; only then does the DETERMINISTIC set check (except over
+    // distinct sets) confirm, so a 64-bit fingerprint collision can stall
+    // nothing and the expensive anti-join runs ~once per graph instead of
+    // every round.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var curFp = fingerprint(cur)
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(cur)).localCheckpoint()
-      // fixed point when the edge multiset is unchanged (both distinct,
-      // so count-equality + one-sided except suffices)
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      val nextFp = fingerprint(next)
+      converged = nextFp == curFp && next.except(cur).isEmpty
       cur = next
+      curFp = nextFp
       rounds += 1
     }
     // At the fixed point every edge is (node, root): star graphs rooted at
