@@ -85,12 +85,18 @@ object PipelineQueries {
           b.as("band"),
           md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2)))).as("bucket")))).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val a = bands.alias("a")
-      val b = bands.alias("b")
-      a.join(b, col("a.band") === col("b.band")
-          && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Pair emission without a self-join: a band self-join recomputes the
+      // signature lineage once per side (the q87 double-lineage class — at
+      // 100 TB that doubles the dominant map stage). Grouping on
+      // (band, bucket) computes signatures once, shuffles once, and emits
+      // i<j pairs row-locally; per-bucket lists are bounded by near-dup
+      // cluster size, and a hot bucket costs |bucket|^2 either way.
+      bands.groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("doc_a"), col("ids"))
+        .select(col("doc_a"),
+          explode(filter(col("ids"), x => x > col("doc_a"))).as("doc_b"))
         .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
