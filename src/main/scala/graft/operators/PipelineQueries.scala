@@ -47,9 +47,9 @@ object PipelineQueries {
     },
 
     // MinHash + LSH near-dedup: 3-word shingles → 8 minhashes → 4 bands of 2
-    // → band-bucket join emits candidate pairs. Signature stage is map-only
-    // (higher-order aggregate over the shingle array); only the tiny
-    // (band, bucket) keys shuffle.
+    // → per-(band,bucket) grouping emits candidate pairs. Signature stage is
+    // map-only (native codegen kernel over the shingle array); only the tiny
+    // (band, bucket) keys shuffle, and the corpus is scanned exactly once.
     QueryDef("p02_dedup_minhash", Some("""
       WITH sh AS (
         SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM (
