@@ -106,13 +106,23 @@ object Bench {
       else measure(ClickBench.queries)
     canarySamples += canaryOnce()
 
-    // Sustained drift only: a single elevated sample is ordinary GC/
-    // scheduling noise at the canary's ~0.2s scale (the per-query median
-    // already tolerates one outlier trial); TWO CONSECUTIVE elevated
-    // samples mean the machine moved under the bench for a whole stretch
-    // of measurements, which is what should invalidate the run.
+    // Sustained drift only, measured against the SESSION MEDIAN of the
+    // canary samples, not the session-start baseline: the canary runs ~1.5x
+    // slower mid-session than cold (GC pressure + code cache from a hundred
+    // compiled plans), so a cold baseline flags every full run. Uniform
+    // session aging moves all samples together and leaves each near their
+    // median; an external load episode lifts a consecutive stretch far
+    // above it. A single elevated sample is ordinary scheduling noise at
+    // the canary's ~0.2s scale (the per-query median already tolerates one
+    // outlier trial); TWO CONSECUTIVE samples >1.75x the session median
+    // mean the machine moved under the bench for a whole stretch of
+    // measurements, which is what should invalidate the run.
+    val canaryMedian = {
+      val s = canarySamples.toSeq.sorted
+      if (s.isEmpty) canaryBaseline else s(s.size / 2)
+    }
     val loadFlag = canarySamples.toSeq.sliding(2).exists(w =>
-      w.length == 2 && w.forall(_ > canaryBaseline * 1.5))
+      w.length == 2 && w.forall(_ > canaryMedian * 1.75))
 
     def medJson(rs: Seq[(String, Double, Double, Vector[Double])]): String =
       rs.map { case (k, med, _, _) => s"\"" + k + "\":" + med }.mkString("{", ",", "}")
@@ -131,7 +141,7 @@ object Bench {
     // Full artifact on disk: the driver's tail-capture truncates the stdout
     // line, so rounds could not be compared query-by-query without this.
     val canaryJson = canarySamples.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
