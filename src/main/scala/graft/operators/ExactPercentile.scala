@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Exact continuous percentiles via a bounded-domain value histogram.
+  *
+  * Spark's built-in `percentile`/`median` compile to a
+  * TypedImperativeAggregate that collects EVERY value of a group into a
+  * single aggregation buffer — at 100 TB a 3-group lineitem median would
+  * buffer tens of GB per group in one buffer on one task. This helper keeps
+  * hash-exactness while bounding state by the number of DISTINCT values
+  * (the value domain), not the row count:
+  *
+  *   1. `groupBy(key, value)` → per-(key,value) counts. Partial (map-side)
+  *      aggregation collapses the row volume before the only data-sized
+  *      shuffle; state per task is one counter per distinct (key,value).
+  *   2. A cumulative-count window over the tiny per-key histogram finds the
+  *      value(s) covering the target rank, and a final reduce interpolates —
+  *      identical math to the reference's exact quantile
+  *      (opteryx third-party sketch fallback aside): sorted 0-based rank
+  *      `pos = p * (n-1)`, result `v_lo + (v_hi - v_lo) * frac`.
+  *
+  * Correct for any input; efficient whenever the value domain is bounded
+  * (integral quantities, fixed-point prices) — the per-key histogram the
+  * window sorts is tiny even when the group itself is billions of rows.
+  */
+object ExactPercentile {
+
+  /** Exact percentile(s) of one value column per group.
+    *
+    * @param ps (fraction, outputColumn) pairs, e.g. `Seq(0.5 -> "med")`.
+    * @return one row per distinct key: (keyCol, outputs...)
+    */
+  def percentiles(
+      df: DataFrame,
+      keyCol: String,
+      value: Column,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val hist = df
+      .filter(value.isNotNull)
+      .groupBy(col(keyCol), value.cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    fromHistogram(hist, keyCol, ps)
+  }
+
+  /** Same selection over a caller-built histogram: `hist` must carry
+    * (keyCol, __v double, __c long) and may carry extra per-(key,value)
+    * partial aggregates that `extraAggs` re-combines in the final reduce
+    * (e.g. a partial bool_and re-aggregated with bool_and) — this lets one
+    * scan feed both the percentile and the group's other aggregates.
+    */
+  def fromHistogram(
+      hist: DataFrame,
+      keyCol: String,
+      ps: Seq[(Double, String)],
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val byVal = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    // Same partition+order spec with an unbounded frame → Catalyst computes
+    // both sums in ONE Window operator over one sort, no second pass.
+    val whole = byVal.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(byVal))
+      .withColumn("__n", sum(col("__c")).over(whole))
+    // A histogram row holds the values at 0-based ranks [cum-c, cum); the row
+    // covering rank r is the unique one with cum-c <= r < cum, so the
+    // conditional max() below picks exactly one value per group.
+    val aggs = ps.flatMap { case (p, name) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      def at(r: Column): Column =
+        max(when(col("__cum") - col("__c") <= r && col("__cum") > r, col("__v")))
+      Seq(
+        at(lo).as(s"__lo_$name"),
+        at(hi).as(s"__hi_$name"),
+        max(pos - lo).as(s"__frac_$name")) // constant within a group
+    }
+    val all = aggs ++ extraAggs
+    val picked = cum.groupBy(col(keyCol)).agg(all.head, all.tail: _*)
+    val outs = ps.map { case (_, name) =>
+      val loV = col(s"__lo_$name")
+      val hiV = col(s"__hi_$name")
+      (loV + (hiV - loV) * col(s"__frac_$name")).as(name)
+    }
+    val extraCols = if (extraAggs.isEmpty) Nil
+      else picked.columns.takeRight(extraAggs.size).toSeq.map(col)
+    picked.select(col(keyCol) +: (outs ++ extraCols): _*)
+  }
+
+  /** Two-phase exact percentile for HIGH-cardinality value domains.
+    *
+    * When nearly every value is distinct (e.g. prices), the one-level
+    * histogram above degenerates: partial aggregation can't collapse rows,
+    * so the shuffle is data-sized. This variant shuffles only bounded state:
+    *
+    *   Phase A: count rows per (key, coarse bucket) — map-side combine
+    *     collapses to ~#buckets rows; a cumulative window over the tiny
+    *     bucket list locates the bucket(s) containing each target rank and
+    *     the count of rows below them.
+    *   Phase B: re-scan joined against the broadcast target-bucket list —
+    *     only rows inside candidate buckets survive (a vanishing fraction),
+    *     then an exact within-bucket histogram + the phase-A below-count
+    *     yields the value at each global rank, interpolated as in
+    *     [[percentiles]].
+    *
+    * Two scans, but every shuffle is bucket-bounded — this survives a 100×
+    * scale-up where the one-level histogram's distinct-value shuffle grows
+    * with the data. `bucket` must be order-preserving (monotone in value).
+    */
+  def refined(
+      df: DataFrame,
+      keyCol: String,
+      value: Column,
+      ps: Seq[(Double, String)],
+      bucket: Column => Column = v => floor(v / 100.0)): DataFrame = {
+    require(ps.size == 1, "refined computes one fraction per call; use percentiles for several")
+    val (p, name) = ps.head
+    val prepared = df
+      .filter(value.isNotNull)
+      .select(col(keyCol), value.cast("double").as("__v"))
+      .withColumn("__b", bucket(col("__v")).cast("long"))
+      .withColumn("__p", lit(p))
+    refinedDynamic(prepared, Seq(keyCol), out = name)
+  }
+
+  /** Generalized two-phase selection over caller-prepared rows.
+    *
+    * `prepared` must carry `keyCols`, `__v` (double value), `__b` (long,
+    * order-preserving bucket of `__v`) and `__p` (target fraction, constant
+    * within each key group). Several measures can share ONE scan by melting
+    * them into a measure-id key column with per-measure `__p`/`__b` —
+    * that is how q41 computes a median and a p90 over different columns
+    * with a single pass of lineitem per phase.
+    *
+    * Returns one row per key group: (keyCols..., `out`).
+    */
+  def refinedDynamic(
+      prepared: DataFrame,
+      keyCols: Seq[String],
+      out: String = "res"): DataFrame = {
+    val keys = keyCols.map(col)
+    val byB = Window.partitionBy(keys: _*).orderBy(col("__b"))
+    val whole = byB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val coarse = prepared
+      .groupBy(keys :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"), first(col("__p")).as("__p")) // __p constant per key group
+      .withColumn("__cum", sum(col("__c")).over(byB))
+      .withColumn("__n", sum(col("__c")).over(whole))
+    // A bucket holds global 0-based ranks [cum-c, cum); keep the bucket(s)
+    // covering the target rank's floor and ceil.
+    val posA = col("__p") * (col("__n") - 1).cast("double")
+    val wanted = Seq(floor(posA), ceil(posA))
+      .map(r => col("__cum") - col("__c") <= r && col("__cum") > r)
+      .reduce(_ || _)
+    val targets = coarse
+      .filter(wanted)
+      .select(keys ++ Seq(col("__b"),
+        (col("__cum") - col("__c")).as("__below"), col("__n")): _*)
+    val cand = prepared.join(broadcast(targets), keyCols :+ "__b")
+    // The candidate buckets cover two ADJACENT global ranks (floor/ceil of
+    // one fractional position), so their union is rank-contiguous starting
+    // at min(below): the sorted candidate values indexed from that offset
+    // give the values at any covered global rank — no window, one tiny agg.
+    val packed = cand
+      .groupBy(keys: _*)
+      .agg(
+        sort_array(collect_list(col("__v"))).as("__vs"),
+        min(col("__below")).as("__start"),
+        min(col("__n")).as("__nn"),
+        first(col("__p")).as("__pp"))
+    val pos = col("__pp") * (col("__nn") - 1).cast("double")
+    val lo = floor(pos)
+    def at(r: Column): Column =
+      element_at(col("__vs"), (r - col("__start")).cast("int") + 1)
+    val vLo = at(lo)
+    val vHi = at(ceil(pos))
+    packed.select(keys :+ (vLo + (vHi - vLo) * (pos - lo)).as(out): _*)
+  }
+}

@@ -36,14 +36,48 @@ object RelationalQueries2 {
              bool_or(l_discount > 0.09) AS any_big_disc,
              min(l_linestatus) AS one_status
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
-      Tables.df(s, dir, "lineitem")
+      // Exact percentiles via bounded-domain histograms (ExactPercentile)
+      // rather than Spark's `percentile` TypedImperativeAggregate, which
+      // buffers the whole group in one aggregation buffer — the histogram
+      // bounds state by distinct values, not row count. The per-flag results
+      // are 3 rows, so the join-back is a broadcast.
+      val li = Tables.df(s, dir, "lineitem")
+      val base = li
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
           expr("bool_and(l_quantity >= 1)").as("all_pos"),
           expr("bool_or(l_discount > 0.09)").as("any_big_disc"),
           min(col("l_linestatus")).as("one_status"))
+      // Both exact percentiles ride ONE melted pass of lineitem per phase:
+      // each row contributes (measure, value) pairs with per-measure target
+      // fraction and bucket width, and the two-phase bucketed selection
+      // (ExactPercentile.refinedDynamic) shuffles only bucket counts — never
+      // a per-group value buffer like Spark's `percentile`, and never the
+      // data-sized distinct-value histogram l_extendedprice would produce.
+      val prepared = li
+        .select(col("l_returnflag"),
+          explode(array(
+            struct(lit("q").as("__m"), col("l_quantity").cast("double").as("__v")),
+            struct(lit("p").as("__m"), col("l_extendedprice").cast("double").as("__v")))).as("__e"))
+        .select(col("l_returnflag"), col("__e.__m").as("__m"), col("__e.__v").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__b",
+          when(col("__m") === "q", floor(col("__v")))
+            .otherwise(floor(col("__v") / 100.0)).cast("long"))
+        .withColumn("__p", when(col("__m") === "q", lit(0.5)).otherwise(lit(0.9)))
+      val percs = ExactPercentile
+        .refinedDynamic(prepared, Seq("l_returnflag", "__m"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("__m") === "q", col("res"))).as("med_raw"),
+          max(when(col("__m") === "p", col("res"))).as("p90_raw"))
+      base
+        .join(broadcast(percs), Seq("l_returnflag"), "left")
+        .select(
+          col("l_returnflag"),
+          round(col("med_raw"), 4).as("med_qty"),
+          round(col("p90_raw"), 4).as("p90_price"),
+          col("all_pos"), col("any_big_disc"), col("one_status"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -79,10 +79,19 @@ object RelationalQueries3 {
              CAST(median(l_quantity) AS DOUBLE) AS med,
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
-      Tables.df(s, dir, "lineitem")
+      // Exact median without Spark's `median` group buffer — see
+      // [[ExactPercentile]]: histogram state is bounded by l_quantity's tiny
+      // integral domain instead of the group's row count.
+      val li = Tables.df(s, dir, "lineitem")
+      val base = li
         .groupBy(col("l_returnflag"))
-        .agg(median(col("l_quantity")).cast("double").as("med"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"))
+      base
+        .join(
+          broadcast(ExactPercentile.percentiles(
+            li, "l_returnflag", col("l_quantity"), Seq(0.5 -> "med"))),
+          Seq("l_returnflag"), "left") // left: an all-NULL group keeps its row (median semantics)
+        .select(col("l_returnflag"), col("med"), col("n"))
         .orderBy(col("l_returnflag"))
     },
 

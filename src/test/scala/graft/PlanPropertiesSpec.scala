@@ -245,4 +245,18 @@ class PlanPropertiesSpec extends AnyFunSuite {
         s"plan-only construction must trigger zero graft jobs, saw: ${offenders.mkString(" | ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("q41/q76: exact percentile/median via bounded histograms — no group-buffering aggregate") {
+    // Spark's Percentile/Median TypedImperativeAggregate collects every group
+    // value into a single buffer — the last per-group O(n) state the round-5
+    // audit found. ExactPercentile replaces it; keep it out of these plans.
+    for (name <- Seq("q41_agg_extra", "q76_median")) {
+      val df = run(name)
+      val all = (df.queryExecution.optimizedPlan.toString
+        + "\n" + planOf(df).toString)
+      assert(!all.contains("percentile(") && !all.contains("Percentile")
+        && !all.contains("median(") && !all.contains("Median"),
+        s"$name must not contain a group-buffering Percentile/Median aggregate:\n$all")
+    }
+  }
 }
