@@ -54,9 +54,13 @@ object Bench {
     // SPARK_GRAFT_ONLY=q01,q02 restricts the run (local iteration tool)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // cb* gate twins are timed in the clickbench section (as the perf-shape
+    // statements); keep them out of the relational loop so the two bench
+    // sections stay comparable round over round.
+    val gateQueries = SparkEntry.queries.filter { case (k, _) => !k.startsWith("cb") }
     val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => only.exists(k.startsWith) }
+      if (only.isEmpty) gateQueries
+      else gateQueries.filter { case (k, _) => only.exists(k.startsWith) }
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
 
     val canaryBaseline = {

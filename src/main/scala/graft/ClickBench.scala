@@ -26,6 +26,10 @@ object ClickBench {
            value, CAST(props ->> 'k' AS INT) AS k
     FROM events"""
 
+  // Memoized per (session, dir) and never evicted: acceptable because the
+  // only callers are the bench/verify processes, whose sessions live for the
+  // whole JVM — an embedder with many short-lived sessions would want weak
+  // keys here (same note as Tables.df).
   private val engines = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Graft]()
 
   private def engine(s: SparkSession, dir: String): Graft =
@@ -91,4 +95,10 @@ object ClickBench {
     statements.map { case (name, sql) =>
       name -> ((s: SparkSession, dir: String) => engine(s, dir).query(sql))
     }.toMap
+
+  /** Run one statement through the shared engine — the correctness-gate
+    * twins ([[graft.operators.ClickBenchGate]]) enter here so they exercise
+    * the same dialect pipeline + cb_hits view as the perf corpus. */
+  private[graft] def gate(s: SparkSession, dir: String, sql: String): DataFrame =
+    engine(s, dir).query(sql)
 }
