@@ -458,6 +458,25 @@ object GraftSql {
     "join", "in", "between", "like", "ilike", "rlike", "as", "union",
     "intersect", "except", "limit", "offset", "distinct", "all", "any")
 
+  /** Position of the CASE opening the END whose last char sits at `endLast`,
+    * tracking nested CASE…END blocks; -1 if unmatched. Word-extraction keeps
+    * identifiers like `weekend` from counting as END. */
+  private def matchingCaseStart(sql: String, mask: Array[Boolean], endLast: Int): Int = {
+    var depth = 1
+    var i = endLast - 3 // skip over the "end" word itself
+    while (i >= 0) {
+      if (!mask(i) && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) {
+        var ws = i
+        while (ws >= 0 && !mask(ws) && (sql.charAt(ws).isLetterOrDigit || sql.charAt(ws) == '_')) ws -= 1
+        val word = sql.substring(ws + 1, i + 1).toLowerCase
+        if (word == "end") depth += 1
+        else if (word == "case") { depth -= 1; if (depth == 0) return ws + 1 }
+        i = ws
+      } else i -= 1
+    }
+    -1
+  }
+
   /** Like [[operandStart]], but extends leftward over binary arithmetic
     * (`+ - * / %`) so a quantified comparison with an expression LHS
     * (`n_nationkey % 5 = ALL (...)`) captures the WHOLE expression — the
@@ -479,7 +498,13 @@ object GraftSql {
         val s2 = operandStart(sql, mask, q)
         val leftOperand =
           if (s2 >= 0 && s2 <= q) Some(sql.substring(s2, q + 1).toLowerCase) else None
-        if (leftOperand.exists(op => !exprBoundaryKw.contains(op))) {
+        if (leftOperand.contains("end")) {
+          // `CASE … END - 5 = ANY (...)`: the sign is BINARY with a CASE
+          // expression on its left — extend capture to the matching CASE
+          // (treating it as unary would strand `CASE … END` mid-rewrite).
+          val cs = matchingCaseStart(sql, mask, q)
+          if (cs >= 0) { start = cs; changed = true }
+        } else if (leftOperand.exists(op => !exprBoundaryKw.contains(op))) {
           start = s2; changed = true
         } else if (sql.charAt(p) == '-' || sql.charAt(p) == '+') {
           // Chaining halted at a clause boundary (or string/paren start), so

@@ -20,8 +20,14 @@ object Tables {
   // re-running `spark.read.parquet` for every QueryDef construction fired a
   // redundant schema-inference JOB per read — hundreds across a Verify pass,
   // and the reason plan-only consumers (PlanAudit) paid cluster time
-  // (round-4 ADVICE). The testdata files are immutable for a session's
-  // lifetime, so the cache never invalidates.
+  // (round-4 ADVICE). Two assumptions this trades on, fine for the
+  // bench/verify processes but load-bearing for any longer-lived embedder:
+  // (1) the parquet files under `dir` are IMMUTABLE for the session's
+  // lifetime — a file replaced mid-session keeps serving the stale cached
+  // plan/file listing; (2) sessions live as long as the JVM — entries are
+  // never evicted, so a stopped session's analyzed plans stay pinned. An
+  // embedder cycling many sessions should clear entries on session stop
+  // (or key weakly on the session).
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

@@ -33,12 +33,15 @@ object BandedThetaJoin {
 
   def poorerCount(keyed: DataFrame, other: DataFrame,
       key: String, v: String, w: String, bandWidth: Double): DataFrame = {
+    // Band ids are long: an int cast would throw under ANSI (or wrap and
+    // corrupt the below-band cumsum) once |v|/bandWidth exceeds Int range —
+    // the band dimension stays tiny either way.
     val sup = keyed
       .filter(col(v).isNotNull)
-      .select(col(key), col(v), floor(col(v) / bandWidth).cast("int").as("sb"))
+      .select(col(key), col(v), floor(col(v) / bandWidth).cast("long").as("sb"))
     val cust = other
       .filter(col(w).isNotNull)
-      .select(col(w), floor(col(w) / bandWidth).cast("int").as("cb"))
+      .select(col(w), floor(col(w) / bandWidth).cast("long").as("cb"))
     // Tiny band dimension (|domain|/bandWidth rows): per-band counts,
     // cumulated to "rows strictly below band b". The single-partition
     // window is over this dimension, never the data. Bands present only on

@@ -195,16 +195,19 @@ object PipelineQueries4 {
         batch AS (
           SELECT doc_id, md5(text) AS h FROM p26_documents WHERE doc_id % 3 <> 0),
         definitely_new AS (
+          -- coalesce(.., false): bloom_filter_agg over an EMPTY snap is
+          -- NULL, and a bare NOT NULL / NULL probe would drop every batch
+          -- row — an empty snapshot must mean "everything is new"
           SELECT doc_id, h FROM batch
-          WHERE NOT might_contain(
+          WHERE NOT coalesce(might_contain(
             (SELECT bloom_filter_agg(xxhash64(h), 1000000L) FROM snap),
-            xxhash64(h))),
+            xxhash64(h)), false)),
         confirmed_new AS (
           SELECT b.doc_id, b.h FROM batch b
           LEFT ANTI JOIN snap ON b.h = snap.h
-          WHERE might_contain(
+          WHERE coalesce(might_contain(
             (SELECT bloom_filter_agg(xxhash64(h), 1000000L) FROM snap),
-            xxhash64(b.h)))
+            xxhash64(b.h)), false))
         SELECT min(doc_id) AS doc_id, h
         FROM (SELECT * FROM definitely_new UNION ALL SELECT * FROM confirmed_new)
         GROUP BY h ORDER BY doc_id""")

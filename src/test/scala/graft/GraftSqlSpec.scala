@@ -301,6 +301,12 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 25L)
     // binary minus still chains: whole arithmetic LHS is captured
     assert(one("SELECT 10 - 5 = ANY (SELECT * FROM VALUES (5) AS t(v)) AS r").getBoolean(0))
+    // binary minus after CASE … END captures the whole CASE (round-5
+    // ADVICE — treating the sign as unary stranded `CASE … END` mid-rewrite)
+    assert(one("SELECT CASE WHEN 1 = 1 THEN 8 ELSE 0 END - 3 = ANY (SELECT * FROM VALUES (5) AS t(v)) AS r").getBoolean(0))
+    assert(!one("SELECT CASE WHEN 1 = 0 THEN 8 ELSE 0 END - 3 = ANY (SELECT * FROM VALUES (5) AS t(v)) AS r").getBoolean(0))
+    // nested CASE inside the LHS still matches its own END
+    assert(one("SELECT CASE WHEN 1 = 1 THEN CASE WHEN 2 = 2 THEN 9 ELSE 0 END ELSE 0 END - 4 = ANY (SELECT * FROM VALUES (5) AS t(v)) AS r").getBoolean(0))
   }
 
   test("visibility filters: DNF injected at every resolution, pushed to the scan") {
