@@ -26,8 +26,15 @@ object ConnectedComponents {
 
   /** Min-label propagation (p18's original body, factored for reuse). */
   def minLabelPropagation(edgesIn: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val edges = edgesIn.select(col("src"), col("dst"))
-      .union(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+    // Both orientations in one explode pass: a union of two projections of
+    // `edgesIn` would execute the (possibly expensive, un-checkpointed)
+    // upstream lineage once per branch — for the LSH pair graph that is a
+    // second full minhash pipeline.
+    val edges = edgesIn
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
@@ -53,14 +60,21 @@ object ConnectedComponents {
     * toward their minimum in parallel. Window over the node key, never a
     * self-join; per-group state is one running min. */
   private def largeStar(edges: DataFrame): DataFrame = {
-    val nbrs = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // Both orientations in ONE pass (explode, not union — a union of two
+    // projections re-executes the child lineage per branch, the q87
+    // double-lineage class). No trailing distinct: the consumer is
+    // smallStar's min-window, which duplicates can't perturb; the round's
+    // single distinct lives at smallStar's tail.
+    val nbrs = edges
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     val m = least(col("u"), min(col("v")).over(Window.partitionBy(col("u"))))
     nbrs.withColumn("m", m)
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** One small-star round: per node, all SMALLER neighbors (and the node
@@ -71,8 +85,13 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
     val w = Window.partitionBy(col("u"))
     val withMin = canon.withColumn("m", min(col("v")).over(w))
-    withMin.select(col("v").as("u"), col("m").as("v"))
-      .union(withMin.select(col("u"), col("m").as("v")))
+    // Emit (v→m) and (u→m) from one pass of the window output (explode, not
+    // union — see largeStar). This distinct is the round pair's only one.
+    withMin
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u"), col("m").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
@@ -81,10 +100,17 @@ object ConnectedComponents {
     * labels and the number of rounds taken (spec-asserted to beat
     * O(diameter) on long chains). */
   def largeSmallStarWithRounds(edgesIn: DataFrame, maxRounds: Int = 40): (DataFrame, Int) = {
-    val nodes = edgesIn.select(col("src").as("node"))
-      .union(edgesIn.select(col("dst").as("node"))).distinct()
+    // ONE execution of the upstream lineage: `base` is checkpointed first,
+    // and nodes/cur both derive from it. The previous spelling (nodes as a
+    // union of two projections + cur from edgesIn) re-ran the un-checkpointed
+    // input pipeline three times before the first round started.
+    val base = edgesIn
+      .select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint()
-    var cur = edgesIn.select(col("src").as("u"), col("dst").as("v"))
+    val nodes = base
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct()
+    var cur = base
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
