@@ -110,23 +110,14 @@ object Bench {
       else measure(ClickBench.queries)
     canarySamples += canaryOnce()
 
-    // Sustained drift only, measured against the SESSION MEDIAN of the
-    // canary samples, not the session-start baseline: the canary runs ~1.5x
-    // slower mid-session than cold (GC pressure + code cache from a hundred
-    // compiled plans), so a cold baseline flags every full run. Uniform
-    // session aging moves all samples together and leaves each near their
-    // median; an external load episode lifts a consecutive stretch far
-    // above it. A single elevated sample is ordinary scheduling noise at
-    // the canary's ~0.2s scale (the per-query median already tolerates one
-    // outlier trial); TWO CONSECUTIVE samples >1.75x the session median
-    // mean the machine moved under the bench for a whole stretch of
-    // measurements, which is what should invalidate the run.
-    val canaryMedian = {
-      val s = canarySamples.toSeq.sorted
-      if (s.isEmpty) canaryBaseline else s(s.size / 2)
-    }
-    val loadFlag = canarySamples.toSeq.sliding(2).exists(w =>
-      w.length == 2 && w.forall(_ > canaryMedian * 1.75))
+    // Flag semantics live in BenchCanary (unit-tested): two consecutive
+    // samples >1.75x the session median (external load episode — the median
+    // basis tolerates the ~1.5x uniform mid-session aging a cold baseline
+    // would flag every run on), OR session median >2.5x the session-start
+    // baseline (a load plateau spanning half the run raises the median and
+    // would otherwise mask itself).
+    val canaryMedian = BenchCanary.sessionMedian(canarySamples.toSeq)
+    val loadFlag = BenchCanary.loadFlag(canarySamples.toSeq)
 
     def medJson(rs: Seq[(String, Double, Double, Vector[Double])]): String =
       rs.map { case (k, med, _, _) => s"\"" + k + "\":" + med }.mkString("{", ",", "}")
