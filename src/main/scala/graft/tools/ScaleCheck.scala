@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{GraftSession, SparkEntry, Tables}
+
+/** Scale validation beyond the driver testdata (round-5 "Next round" #4):
+  * synthesizes a deterministic ~10x corpus from sf0.1 locally, then times
+  * the top scale-path pipeline ops at BOTH scales in one session
+  * (interleaved: sf0.1 then synth per op) and asserts no plan degrades to a
+  * cartesian / non-tiny broadcast-nested-loop at the larger scale. Writes
+  * `bench_sf1_synth.json` at the repo root.
+  *
+  * Replication is perturbation-aware so workload DENSITY stays comparable
+  * (plain copies would make every replica a near-dup of its source, growing
+  * LSH bucket sizes 10x and pair emission 100x — a different workload, not
+  * a bigger one):
+  *  - documents: every 5th word of a replica is salted with the replica id,
+  *    pushing shingle Jaccard and minhash similarity under the dedup
+  *    thresholds while keeping length/language statistics;
+  *  - embeddings: per-dimension deterministic jitter (cosine-effective —
+  *    pure scaling would leave cosine exactly 1);
+  *  - events: user/event ids offset per replica and timestamps shifted, so
+  *    per-user session shapes stay constant and the event count scales.
+  *
+  * Usage: runMain graft.tools.ScaleCheck [gen|run|all] (default all).
+  * Dev tool — not part of the shipped library surface.
+  */
+object ScaleCheck {
+  private val srcDir = "/root/testdata/sf0.1"
+  private val outDir = "/tmp/sf1_synth"
+  private val factor = 10
+
+  /** Scale-path ops: the bucketed/broadcast tiers VERDICT r5 audited as
+    * scale-safe. The all-pairs verification baselines (p04/p05) are
+    * excluded by design — their cost is quadratic on purpose. */
+  private val ops = Seq(
+    "p01_dedup_exact", "p02_dedup_minhash", "p17_dedup_jaccard_capped",
+    "p18_dedup_components", "p29_dedup_components_star",
+    "p20_contamination", "p23_semantic_dedup", "p25_unigram_lm")
+
+  private def rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+
+  def generate(spark: SparkSession): Unit = {
+    // Small relational tables pass through unchanged (the pipeline ops only
+    // read documents/embeddings/events, but a full table set keeps
+    // PlanAudit/Bench runnable against the synth dir).
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
+      Tables.df(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    Tables.df(spark, srcDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), rep)
+      .select(
+        (col("doc_id") * factor + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(array_join(
+          expr("transform(split(text, ' '), (w, j) -> IF(j % 5 = 0, concat(w, '~', rep), w))"),
+          " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    Tables.df(spark, srcDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"), rep)
+      .select(
+        (col("vec_id") * factor + col("rep")).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(expr(
+          "transform(embedding, (x, j) -> cast(x + pmod(xxhash64(vec_id * 97 + rep * 13 + j), 100) / 500.0 as float))"))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    Tables.df(spark, srcDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), rep)
+      .select(
+        (col("event_id") * factor + col("rep")).as("event_id"),
+        expr("timestampadd(MINUTE, rep, ts)").as("ts"),
+        (col("user_id") + col("rep") * 100000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  private def planFlags(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.executedPlan.toString
+    Seq(
+      "CartesianProduct" -> plan.contains("CartesianProduct"),
+      "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin")
+    ).collect { case (name, true) => name }
+  }
+
+  private def timeOnce(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def run(spark: SparkSession): Unit = {
+    val rows = ops.map { name =>
+      // warm both dirs (codegen/JIT), then one timed pass each,
+      // small-before-large per op so session aging can't inflate the ratio
+      timeOnce(spark, name, srcDir); timeOnce(spark, name, outDir)
+      val tSmall = timeOnce(spark, name, srcDir)
+      val tBig = timeOnce(spark, name, outDir)
+      val flags = planFlags(SparkEntry.queries(name)(spark, outDir))
+      val ratio = if (tSmall > 0) tBig / tSmall else -1.0
+      println(f"SCALECHECK $name sf0.1=$tSmall%.2fs synth10x=$tBig%.2fs ratio=$ratio%.2f flags=${flags.mkString("+")}")
+      (name, tSmall, tBig, ratio, flags)
+    }
+    val json = rows.map { case (n, a, b, r, f) =>
+      s""""$n":{"sf01_sec":$a,"sf1_synth_sec":$b,"ratio":${math.rint(r * 100) / 100},"plan_flags":${f.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    }.mkString(
+      s"""{"metric":"sf1_synth","factor":$factor,"src":"$srcDir","queries":{""",
+      ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_sf1_synth.json"), json.getBytes("UTF-8"))
+    println(json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
+    if (mode == "gen" || mode == "all") generate(spark)
+    if (mode == "run" || mode == "all") run(spark)
+    spark.stop()
+  }
+}
