@@ -30,13 +30,16 @@ object PipelineQueries4 {
     // |corpus|² candidate pairs. p05 is this query's exact all-pairs
     // verification baseline.
     //
-    // Scale shape: centroids broadcast (tiny by construction); assignment
-    // shuffles only (vec_id, cent_id) tuples; the pair join is an equi-join
-    // on the cell id; rerank joins fetch vectors by key. With k-means-trained
-    // centroids (IvfIndex.trainCentroids) the identical plan holds at 100 TB.
+    // Scale shape: centroids broadcast (sqrt-of-corpus many — see the nlist
+    // note in the body); assignment shuffles only (vec_id, cent_id) tuples;
+    // the pair join is an equi-join on the cell id; rerank joins fetch
+    // vectors by key. With k-means-trained centroids
+    // (IvfIndex.trainCentroids) the identical plan holds at 100 TB.
     QueryDef("p23_semantic_dedup", Some("""
       WITH cents AS (
-        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+        WHERE vec_id < (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+                        FROM embeddings)),
       assign AS (
         SELECT vec_id, cent_id FROM (
           SELECT e.vec_id, c.cent_id,
@@ -55,7 +58,17 @@ object PipelineQueries4 {
       WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
       ORDER BY vec_a, vec_b""")) { (s, dir) =>
       val e = Tables.df(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 16)
+      // nlist scales as ceil(sqrt(N)) — the balanced flat-IVF sizing: cell
+      // population ~2*sqrt(N) (multi-probe 2), so BOTH the N*nlist
+      // assignment term and the nlist*(N/nlist)^2 pair term grow as N^1.5.
+      // A fixed nlist is quadratic in the pair term (the 10x scale check
+      // measured 162x at 10x data with nlist=16, parallelism capped at 16
+      // cells); at 100 TB the sqrt policy is what keeps this plan alive,
+      // with trained hierarchical centroids (IvfIndex.trainCentroids) as
+      // the fully-linear escalation. The nlist scalar rides along as a
+      // broadcast 1-row cross join, never a driver collect.
+      val nl = e.agg(greatest(lit(16L), ceil(sqrt(count(lit(1))))).as("nlist"))
+      val cents = e.crossJoin(broadcast(nl)).filter(col("vec_id") < col("nlist"))
         .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
       val cosAssign = Functions.cosineSimilarity(col("embedding"), col("cvec"))
       val w = Window.partitionBy(col("vec_id")).orderBy(cosAssign.desc, col("cent_id"))
