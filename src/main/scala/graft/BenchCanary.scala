@@ -24,7 +24,11 @@ object BenchCanary {
     *    session-start baseline — a load episode spanning half or more of the
     *    run raises the median and would otherwise mask itself (round-5
     *    ADVICE). Ordinary mid-session aging (GC pressure + code cache) is
-    *    ~1.5x and stays under this.
+    *    ~1.5x and stays under this. The baseline is the MEDIAN OF THE FIRST
+    *    THREE samples, not the first alone: a clean 164-query run measured
+    *    its single cold-start sample at 0.154s against a 0.388s session
+    *    median (2.52x) purely because the first sample ran in a
+    *    pre-aging JVM — one sample in either direction is not a baseline.
     */
   def loadFlag(
       samples: Seq[Double],
@@ -34,7 +38,8 @@ object BenchCanary {
     val median = sessionMedian(samples)
     val spike = samples.sliding(2).exists(w =>
       w.length == 2 && w.forall(_ > median * spikeFactor))
-    val plateau = median > samples.head * plateauFactor
+    val baseline = sessionMedian(samples.take(3))
+    val plateau = median > baseline * plateauFactor
     spike || plateau
   }
 }

@@ -140,12 +140,31 @@ object ExactPercentile {
       prepared: DataFrame,
       keyCols: Seq[String],
       out: String = "res"): DataFrame = {
+    val coarse = prepared
+      .groupBy(keyCols.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"), first(col("__p")).as("__p")) // __p constant per key group
+    refinedFromCoarse(coarse, prepared, keyCols, out)
+  }
+
+  /** Phase B of [[refinedDynamic]] over a CALLER-BUILT phase-A histogram.
+    *
+    * `coarse` must carry (keyCols..., __b, __c count, __p fraction) — one
+    * row per (key, bucket) — and may carry extra partial-aggregate columns
+    * the caller re-reduces itself (both consumers then read the same
+    * shuffle via exchange reuse, so e.g. q41's bool_and/bool_or/min ride
+    * phase A's pass instead of paying their own scan). `prepared` is the
+    * row-level input phase B re-scans for candidate-bucket values.
+    */
+  def refinedFromCoarse(
+      coarseIn: DataFrame,
+      prepared: DataFrame,
+      keyCols: Seq[String],
+      out: String = "res"): DataFrame = {
     val keys = keyCols.map(col)
     val byB = Window.partitionBy(keys: _*).orderBy(col("__b"))
     val whole = byB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val coarse = prepared
-      .groupBy(keys :+ col("__b"): _*)
-      .agg(count(lit(1)).as("__c"), first(col("__p")).as("__p")) // __p constant per key group
+    val coarse = coarseIn
+      .select(keys ++ Seq(col("__b"), col("__c"), col("__p")): _*)
       .withColumn("__cum", sum(col("__c")).over(byB))
       .withColumn("__n", sum(col("__c")).over(whole))
     // A bucket holds global 0-based ranks [cum-c, cum); keep the bucket(s)

@@ -42,34 +42,61 @@ object RelationalQueries2 {
       // bounds state by distinct values, not row count. The per-flag results
       // are 3 rows, so the join-back is a broadcast.
       val li = Tables.df(s, dir, "lineitem")
-      val base = li
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("bool_and(l_quantity >= 1)").as("all_pos"),
-          expr("bool_or(l_discount > 0.09)").as("any_big_disc"),
-          min(col("l_linestatus")).as("one_status"))
       // Both exact percentiles ride ONE melted pass of lineitem per phase:
       // each row contributes (measure, value) pairs with per-measure target
       // fraction and bucket width, and the two-phase bucketed selection
-      // (ExactPercentile.refinedDynamic) shuffles only bucket counts — never
-      // a per-group value buffer like Spark's `percentile`, and never the
-      // data-sized distinct-value histogram l_extendedprice would produce.
+      // (ExactPercentile.refinedFromCoarse) shuffles only bucket counts —
+      // never a per-group value buffer like Spark's `percentile`, and never
+      // the data-sized distinct-value histogram l_extendedprice would
+      // produce. The row-level aggregates (bool_and/bool_or/min) ride the
+      // SAME phase-A shuffle as partial aggregates on the "q"-measure rows
+      // (each source row appears once per measure, so restricting to one
+      // measure counts it exactly once); their re-reduce and the percentile
+      // window are two consumers of one exchange — no separate base scan.
       val prepared = li
         .select(col("l_returnflag"),
+          col("l_quantity"), col("l_discount"), col("l_linestatus"),
           explode(array(
             struct(lit("q").as("__m"), col("l_quantity").cast("double").as("__v")),
             struct(lit("p").as("__m"), col("l_extendedprice").cast("double").as("__v")))).as("__e"))
-        .select(col("l_returnflag"), col("__e.__m").as("__m"), col("__e.__v").as("__v"))
+        .select(col("l_returnflag"), col("__e.__m").as("__m"), col("__e.__v").as("__v"),
+          col("l_quantity"), col("l_discount"), col("l_linestatus"))
         .filter(col("__v").isNotNull)
         .withColumn("__b",
           when(col("__m") === "q", floor(col("__v")))
             .otherwise(floor(col("__v") / 100.0)).cast("long"))
         .withColumn("__p", when(col("__m") === "q", lit(0.5)).otherwise(lit(0.9)))
+      val isQ = col("__m") === "q"
+      // Two codegen-keeping details, both measured on the 1.2M-row melt:
+      //  - min over the STRING l_linestatus makes the aggregation buffer
+      //    variable-width, which demotes the whole pass to SortAggregate
+      //    (2.6s vs 0.5s) — aggregate min(ascii(c)) (fixed-width int; the
+      //    column is single-char so min commutes with ascii) and decode
+      //    with char() at the end.
+      //  - localCheckpoint: coarse is BUCKET-BOUNDED state (~#buckets
+      //    rows, never data-sized) with three consumers (base re-reduce,
+      //    percentile window, phase-B target list) whose column pruning
+      //    specializes each copy of the aggregate differently — without
+      //    the checkpoint the canonical plans diverge, exchange reuse
+      //    never fires, and the melted scan executes once per consumer
+      //    (measured 3 scans / 3.1s).
+      val coarse = prepared
+        .groupBy(col("l_returnflag"), col("__m"), col("__b"))
+        .agg(count(lit(1)).as("__c"), first(col("__p")).as("__p"),
+          expr("bool_and(CASE WHEN __m = 'q' THEN l_quantity >= 1 END)").as("__ba"),
+          expr("bool_or(CASE WHEN __m = 'q' THEN l_discount > 0.09 END)").as("__bo"),
+          min(when(isQ, ascii(col("l_linestatus")))).as("__mn"))
+        .localCheckpoint()
+      val base = coarse
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bool_and(__ba)").as("all_pos"),
+          expr("bool_or(__bo)").as("any_big_disc"),
+          expr("char(min(__mn))").as("one_status"))
       val percs = ExactPercentile
-        .refinedDynamic(prepared, Seq("l_returnflag", "__m"))
+        .refinedFromCoarse(coarse, prepared, Seq("l_returnflag", "__m"))
         .groupBy(col("l_returnflag"))
         .agg(
-          max(when(col("__m") === "q", col("res"))).as("med_raw"),
+          max(when(isQ, col("res"))).as("med_raw"),
           max(when(col("__m") === "p", col("res"))).as("p90_raw"))
       base
         .join(broadcast(percs), Seq("l_returnflag"), "left")

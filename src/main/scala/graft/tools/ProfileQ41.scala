@@ -27,3 +27,22 @@ object ProfileQ41 {
     spark.stop()
   }
 }
+// appended scratch: construction-vs-sink split for the checkpointed q41
+object ProfileQ41b {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def sink(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries("q41_agg_extra")(spark, dir)
+      val t1 = System.nanoTime()
+      sink(df)
+      val t2 = System.nanoTime()
+      println(f"PROFILEB construct ${(t1 - t0) / 1e9}%.3f sink ${(t2 - t1) / 1e9}%.3f")
+    }
+    spark.stop()
+  }
+}
