@@ -159,14 +159,98 @@ object ExactPercentile {
       coarseIn: DataFrame,
       prepared: DataFrame,
       keyCols: Seq[String],
-      out: String = "res"): DataFrame = {
+      out: String = "res"): DataFrame =
+    selectFromCum(cumulate(coarseIn, keyCols), prepared, keyCols, out)
+
+  /** Cumulative/total counts over a phase-A histogram: appends `__cum` and
+    * `__n` to `coarseIn` (which must carry keyCols, __b, __c, __p and may
+    * carry extra columns — they pass through untouched). Split out so a
+    * caller can `localCheckpoint` the RESULT and feed it to BOTH
+    * [[selectFromCum]] and its own re-reduce of extra partial aggregates:
+    * the window then runs inside the one materializing job instead of once
+    * per consumer (q41 does this — the checkpointed frame is bucket-bounded
+    * state, never data-sized).
+    */
+  def cumulate(coarseIn: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
     val byB = Window.partitionBy(keys: _*).orderBy(col("__b"))
     val whole = byB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val coarse = coarseIn
-      .select(keys ++ Seq(col("__b"), col("__c"), col("__p")): _*)
+    // Same partition+order spec → Catalyst computes both sums in ONE Window
+    // operator over one sort.
+    coarseIn
       .withColumn("__cum", sum(col("__c")).over(byB))
       .withColumn("__n", sum(col("__c")).over(whole))
+  }
+
+  /** One-scan multi-measure phase B over a [[cumulate]]d histogram.
+    *
+    * [[selectFromCum]] probes with caller-melted rows — one row per
+    * (source row, measure) — so the probe side doubles (or ×M) the scan.
+    * This variant joins the RAW rows once against the broadcast target
+    * list and computes each row's bucket for the measure of the target
+    * row it is compared with, so the probe side stays one row per source
+    * row with no explode. Per-row fanout is bounded by the target rows of
+    * its key group (≤ 2 buckets per measure — the floor/ceil ranks), so
+    * the join emits candidate rows only and the whole phase stays
+    * broadcast-sized above the scan.
+    *
+    * `cum` must be cumulated over `keyCols :+ "__m"` where `__m` is the
+    * integer measure id; `measures` maps id → (value, bucket) expressions
+    * over `data`'s columns (bucket order-preserving in value, as always).
+    * Returns (keyCols..., __m, `out`) — one row per (key, measure).
+    */
+  def selectMultiMeasureFromCum(
+      cum: DataFrame,
+      data: DataFrame,
+      keyCols: Seq[String],
+      measures: Seq[(Int, Column, Column)],
+      out: String = "res"): DataFrame = {
+    val groupKeys = keyCols :+ "__m"
+    val keys = groupKeys.map(col)
+    val posA = col("__p") * (col("__n") - 1).cast("double")
+    val wanted = Seq(floor(posA), ceil(posA))
+      .map(r => col("__cum") - col("__c") <= r && col("__cum") > r)
+      .reduce(_ || _)
+    // Rename every target column so the probe-side names stay unambiguous.
+    val targets = cum
+      .filter(wanted)
+      .select(groupKeys.map(k => col(k).as(s"__t_$k")) ++ Seq(col("__b").as("__t_b"),
+        (col("__cum") - col("__c")).as("__below"), col("__n"), col("__p")): _*)
+    def bySwitch(f: ((Int, Column, Column)) => Column): Column =
+      measures.foldRight(lit(null).cast("double")) { case (m, acc) =>
+        when(col("__t___m") === m._1, f(m)).otherwise(acc)
+      }
+    val cond = (keyCols.map(k => col(k) === col(s"__t_$k")) :+
+      (bySwitch(_._3).cast("long") === col("__t_b"))).reduce(_ && _)
+    val cand = data.join(broadcast(targets), cond)
+      .select(keyCols.map(col) ++ Seq(col("__t___m").as("__m"),
+        bySwitch(_._2).cast("double").as("__v"),
+        col("__below"), col("__n"), col("__p")): _*)
+    val packed = cand
+      .groupBy(keys: _*)
+      .agg(
+        sort_array(collect_list(col("__v"))).as("__vs"),
+        min(col("__below")).as("__start"),
+        min(col("__n")).as("__nn"),
+        first(col("__p")).as("__pp"))
+    val pos = col("__pp") * (col("__nn") - 1).cast("double")
+    val lo = floor(pos)
+    def at(r: Column): Column =
+      element_at(col("__vs"), (r - col("__start")).cast("int") + 1)
+    val vLo = at(lo)
+    val vHi = at(ceil(pos))
+    packed.select(keys :+ (vLo + (vHi - vLo) * (pos - lo)).as(out): _*)
+  }
+
+  /** Phase-B selection over a [[cumulate]]d histogram. */
+  def selectFromCum(
+      cum: DataFrame,
+      prepared: DataFrame,
+      keyCols: Seq[String],
+      out: String = "res"): DataFrame = {
+    val keys = keyCols.map(col)
+    val coarse = cum
+      .select(keys ++ Seq(col("__b"), col("__c"), col("__p"), col("__cum"), col("__n")): _*)
     // A bucket holds global 0-based ranks [cum-c, cum); keep the bucket(s)
     // covering the target rank's floor and ceil.
     val posA = col("__p") * (col("__n") - 1).cast("double")
@@ -176,8 +260,12 @@ object ExactPercentile {
     val targets = coarse
       .filter(wanted)
       .select(keys ++ Seq(col("__b"),
-        (col("__cum") - col("__c")).as("__below"), col("__n")): _*)
-    val cand = prepared.join(broadcast(targets), keyCols :+ "__b")
+        (col("__cum") - col("__c")).as("__below"), col("__n"), col("__p")): _*)
+    // __p rides the (tiny) target list, so `prepared` needs only keys+__b+__v
+    // — phase B's data-sized probe stays as narrow as possible. A __p left on
+    // the probe side (refinedDynamic's prepared carries one) is dropped to
+    // keep the post-join name unambiguous.
+    val cand = prepared.drop("__p").join(broadcast(targets), keyCols :+ "__b")
     // The candidate buckets cover two ADJACENT global ranks (floor/ceil of
     // one fractional position), so their union is rank-contiguous starting
     // at min(below): the sorted candidate values indexed from that offset

@@ -43,67 +43,91 @@ object RelationalQueries2 {
       // are 3 rows, so the join-back is a broadcast.
       val li = Tables.df(s, dir, "lineitem")
       // Both exact percentiles ride ONE melted pass of lineitem per phase:
-      // each row contributes (measure, value) pairs with per-measure target
-      // fraction and bucket width, and the two-phase bucketed selection
-      // (ExactPercentile.refinedFromCoarse) shuffles only bucket counts —
-      // never a per-group value buffer like Spark's `percentile`, and never
-      // the data-sized distinct-value histogram l_extendedprice would
-      // produce. The row-level aggregates (bool_and/bool_or/min) ride the
-      // SAME phase-A shuffle as partial aggregates on the "q"-measure rows
-      // (each source row appears once per measure, so restricting to one
-      // measure counts it exactly once); their re-reduce and the percentile
-      // window are two consumers of one exchange — no separate base scan.
-      val prepared = li
-        .select(col("l_returnflag"),
-          col("l_quantity"), col("l_discount"), col("l_linestatus"),
-          explode(array(
-            struct(lit("q").as("__m"), col("l_quantity").cast("double").as("__v")),
-            struct(lit("p").as("__m"), col("l_extendedprice").cast("double").as("__v")))).as("__e"))
-        .select(col("l_returnflag"), col("__e.__m").as("__m"), col("__e.__v").as("__v"),
-          col("l_quantity"), col("l_discount"), col("l_linestatus"))
-        .filter(col("__v").isNotNull)
-        .withColumn("__b",
-          when(col("__m") === "q", floor(col("__v")))
-            .otherwise(floor(col("__v") / 100.0)).cast("long"))
-        .withColumn("__p", when(col("__m") === "q", lit(0.5)).otherwise(lit(0.9)))
-      val isQ = col("__m") === "q"
-      // Two codegen-keeping details, both measured on the 1.2M-row melt:
+      // each row contributes (measure, value) pairs with per-measure bucket
+      // width, and the two-phase bucketed selection (ExactPercentile)
+      // shuffles only bucket counts — never a per-group value buffer like
+      // Spark's `percentile`, and never the data-sized distinct-value
+      // histogram l_extendedprice would produce. The row-level aggregates
+      // (bool_and/bool_or/min) ride the SAME phase-A shuffle as partial
+      // aggregates on the measure-0 rows (each source row appears once per
+      // measure, so restricting to one measure counts it exactly once);
+      // their re-reduce and the percentile selection are two consumers of
+      // the one checkpointed frame — no separate base scan.
+      //
+      // Hot-path details, each measured on the 1.2M-row melt:
+      //  - ALL-INT GROUPING KEYS: grouping by the raw strings
+      //    (l_returnflag, a measure tag) more than doubles the hash-agg
+      //    cost (1.3s vs 0.5s phase A) — key on ascii(flag) and a 0/1
+      //    measure id, decode with char() at the very end.
       //  - min over the STRING l_linestatus makes the aggregation buffer
       //    variable-width, which demotes the whole pass to SortAggregate
-      //    (2.6s vs 0.5s) — aggregate min(ascii(c)) (fixed-width int; the
-      //    column is single-char so min commutes with ascii) and decode
-      //    with char() at the end.
-      //  - localCheckpoint: coarse is BUCKET-BOUNDED state (~#buckets
-      //    rows, never data-sized) with three consumers (base re-reduce,
-      //    percentile window, phase-B target list) whose column pruning
-      //    specializes each copy of the aggregate differently — without
-      //    the checkpoint the canonical plans diverge, exchange reuse
-      //    never fires, and the melted scan executes once per consumer
-      //    (measured 3 scans / 3.1s).
-      val coarse = prepared
-        .groupBy(col("l_returnflag"), col("__m"), col("__b"))
-        .agg(count(lit(1)).as("__c"), first(col("__p")).as("__p"),
-          expr("bool_and(CASE WHEN __m = 'q' THEN l_quantity >= 1 END)").as("__ba"),
-          expr("bool_or(CASE WHEN __m = 'q' THEN l_discount > 0.09 END)").as("__bo"),
-          min(when(isQ, ascii(col("l_linestatus")))).as("__mn"))
-        .localCheckpoint()
-      val base = coarse
-        .groupBy(col("l_returnflag"))
-        .agg(expr("bool_and(__ba)").as("all_pos"),
+      //    (2.6s vs 0.5s) — aggregate min(ascii(c)) instead.
+      //  - __p joins phase B via the tiny target list (selectFromCum), so
+      //    neither melted pass carries the fraction column.
+      //  - localCheckpoint AFTER ExactPercentile.cumulate: the checkpointed
+      //    frame is BUCKET-BOUNDED state (~#buckets rows, never data-sized)
+      //    with three consumers (base re-reduce, target list, phase-B
+      //    selection) whose column pruning would otherwise specialize each
+      //    copy of the aggregate differently — exchange reuse never fires
+      //    and the melted scan executes once per consumer (measured 3
+      //    scans / 3.1s). Checkpointing the CUMULATED frame (not the raw
+      //    coarse one) additionally folds the rank window into the one
+      //    materializing job instead of re-running it per consumer.
+      val isQ = col("__m") === 0
+      def melted(extra: Column*): DataFrame = li
+        .select(Seq(ascii(col("l_returnflag")).as("__k")) ++ extra :+
+          explode(array(
+            struct(lit(0).as("__m"), col("l_quantity").cast("double").as("__v")),
+            struct(lit(1).as("__m"), col("l_extendedprice").cast("double").as("__v")))).as("__e"): _*)
+        .withColumn("__m", col("__e.__m")).withColumn("__v", col("__e.__v"))
+        .drop("__e")
+        .filter(col("__v").isNotNull)
+        .withColumn("__b",
+          when(isQ, floor(col("__v"))).otherwise(floor(col("__v") / 100.0)).cast("long"))
+      val coarse = melted(
+          (col("l_quantity") >= 1).as("__qa"),
+          (col("l_discount") > 0.09).as("__qo"),
+          ascii(col("l_linestatus")).as("__ls"))
+        .groupBy(col("__k"), col("__m"), col("__b"))
+        .agg(count(lit(1)).as("__c"),
+          expr("bool_and(CASE WHEN __m = 0 THEN __qa END)").as("__ba"),
+          expr("bool_or(CASE WHEN __m = 0 THEN __qo END)").as("__bo"),
+          min(when(isQ, col("__ls"))).as("__mn"))
+        .withColumn("__p", when(isQ, lit(0.5)).otherwise(lit(0.9)))
+      val cum = ExactPercentile.cumulate(coarse, Seq("__k", "__m")).localCheckpoint()
+      // Phase B probes the raw rows ONCE against the broadcast target list
+      // (no second melt — selectMultiMeasureFromCum computes each row's
+      // bucket for the measure of the target row it meets, bounded fanout).
+      val percs = ExactPercentile.selectMultiMeasureFromCum(
+        cum,
+        li.select(ascii(col("l_returnflag")).as("__k"),
+          col("l_quantity").cast("double").as("__q"),
+          col("l_extendedprice").cast("double").as("__pr")),
+        Seq("__k"),
+        Seq(
+          (0, col("__q"), floor(col("__q"))),
+          (1, col("__pr"), floor(col("__pr") / 100.0))))
+      // Final: UNION the tiny checkpointed histogram with the tiny percentile
+      // rows and re-reduce in ONE aggregation — no base⋈percs join, so the
+      // whole tail after phase B is a single job (aggregates ignore the NULL
+      // slots contributed by the other branch).
+      val fromCum = cum.select(col("__k"),
+        col("__ba"), col("__bo"), col("__mn"),
+        lit(null).cast("int").as("__m"), lit(null).cast("double").as("res"))
+      val fromPercs = percs.select(col("__k"),
+        lit(null).cast("boolean").as("__ba"), lit(null).cast("boolean").as("__bo"),
+        lit(null).cast("int").as("__mn"), col("__m"), col("res"))
+      fromCum.unionAll(fromPercs)
+        .groupBy(col("__k"))
+        .agg(
+          round(max(when(isQ, col("res"))), 4).as("med_qty"),
+          round(max(when(col("__m") === 1, col("res"))), 4).as("p90_price"),
+          expr("bool_and(__ba)").as("all_pos"),
           expr("bool_or(__bo)").as("any_big_disc"),
           expr("char(min(__mn))").as("one_status"))
-      val percs = ExactPercentile
-        .refinedFromCoarse(coarse, prepared, Seq("l_returnflag", "__m"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          max(when(isQ, col("res"))).as("med_raw"),
-          max(when(col("__m") === "p", col("res"))).as("p90_raw"))
-      base
-        .join(broadcast(percs), Seq("l_returnflag"), "left")
         .select(
-          col("l_returnflag"),
-          round(col("med_raw"), 4).as("med_qty"),
-          round(col("p90_raw"), 4).as("p90_price"),
+          expr("char(__k)").as("l_returnflag"),
+          col("med_qty"), col("p90_price"),
           col("all_pos"), col("any_big_disc"), col("one_status"))
         .orderBy(col("l_returnflag"))
     },
