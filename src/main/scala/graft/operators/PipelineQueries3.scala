@@ -49,12 +49,17 @@ object PipelineQueries3 {
         b.as("band"),
         md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2)))).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    a.join(b, col("a.band") === col("b.band")
-        && col("a.bucket") === col("b.bucket")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pair emission without a self-join (p02's spelling): a band self-join
+    // recomputes the signature lineage once per side — at sf0.1 that alone
+    // is ~4s of the CC queries' wall time, and at 100 TB it doubles the
+    // dominant map stage. Group on (band, bucket), emit i<j pairs
+    // row-locally; per-bucket lists are bounded by near-dup cluster size.
+    bands.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"),
+        explode(filter(col("ids"), x => x > col("doc_a"))).as("doc_b"))
       .distinct()
   }
 
