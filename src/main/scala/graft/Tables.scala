@@ -44,6 +44,26 @@ object Tables {
       }
     })
 
+  private val spreadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** [[df]] repartitioned to the session's core count WHEN the parquet scan
+    * yields fewer splits — for CPU-heavy per-row kernels (minhash, shingle
+    * explosion, n-gram hashing, all-pairs probes) whose map stage otherwise
+    * runs on however many row groups the file happens to have (the testdata
+    * documents/embeddings files are single-row-group, i.e. ONE core of 32).
+    * The condition makes it a no-op at real scale: a 100 TB input has
+    * thousands of splits, so no shuffle is ever added there, while the
+    * local small-file shuffle moves only a few MB. Memoized like [[df]] so
+    * the partition-count planning pass runs once per (session, dir, name).
+    */
+  def dfSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spreadCache.computeIfAbsent((spark, dir, name), { _ =>
+      val base = df(spark, dir, name)
+      val cores = spark.sparkContext.defaultParallelism
+      if (base.rdd.getNumPartitions < cores) base.repartition(cores) else base
+    })
+
   /** Register every testdata table as a temp view so `spark.sql` and the
     * DuckDB oracle address tables by the same names. */
   def registerAll(spark: SparkSession, dir: String): Unit =

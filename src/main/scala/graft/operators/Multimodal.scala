@@ -133,7 +133,7 @@ object Multimodal {
     * tests to fabricate assets from the documents table. */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.Tables.df(spark, dir, "documents")
+    graft.Tables.dfSpread(spark, dir, "documents")
       .select(col("doc_id").as("asset_id"),
         lit("image").as("kind"),
         col("text").cast("binary").as("payload"),

@@ -40,7 +40,7 @@ object PipelineQueries {
       SELECT doc_id,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
         .select(col("doc_id"), col("keeper"))
         .orderBy(col("doc_id"))
@@ -71,7 +71,7 @@ object PipelineQueries {
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
-      val docs = Tables.df(s, dir, "documents")
+      val docs = Tables.dfSpread(s, dir, "documents")
         .withColumn("sh", shingles(toks(col("text")), 3))
       // minhash_h = min over shingles of md5(h || ':' || shingle); the min of
       // a uniform digest is a valid permutation surrogate and is
@@ -116,7 +116,7 @@ object PipelineQueries {
       SELECT doc_id,
              CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), Functions.simhash32(toks(col("text"))).as("simhash"))
         .orderBy(col("doc_id"))
     },
@@ -150,7 +150,7 @@ object PipelineQueries {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
-      val sh = Tables.df(s, dir, "documents")
+      val sh = Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("shingle"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.alias("a")
@@ -178,7 +178,7 @@ object PipelineQueries {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
       ORDER BY vec_a, vec_b""")) { (s, dir) =>
-      val e = Tables.df(s, dir, "embeddings")
+      val e = Tables.dfSpread(s, dir, "embeddings")
       val a = e.alias("a")
       val b = e.alias("b")
       val cos = Functions.cosineSimilarity(col("a.embedding"), col("b.embedding"))
@@ -205,7 +205,7 @@ object PipelineQueries {
         FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
         JOIN embeddings c ON q.vec_id <> c.vec_id) t
       WHERE rn <= 5 ORDER BY q_id, rn""")) { (s, dir) =>
-      val e = Tables.df(s, dir, "embeddings")
+      val e = Tables.dfSpread(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10).alias("q")
       val c = e.alias("c")
       val cos = Functions.cosineSimilarity(col("q.embedding"), col("c.embedding"))
@@ -241,7 +241,7 @@ object PipelineQueries {
       val weight = (h: Column, d: Column) =>
         when(conv(substring(md5(concat(h.cast("string"), lit(":"), d.cast("string"))), 1, 1), 16, 10)
           .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-      val e = Tables.df(s, dir, "embeddings")
+      val e = Tables.dfSpread(s, dir, "embeddings")
       e.select(
         col("vec_id"),
         aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, h) => {
@@ -274,7 +274,7 @@ object PipelineQueries {
       FROM scored ORDER BY doc_id""")) { (s, dir) =>
       val hit = (t: Column, ws: Seq[String]) =>
         size(filter(t, x => x.isin(ws.map(lit(_)): _*)))
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .withColumn("t", toks(col("text")))
         .withColumn("s_en", hit(col("t"), Seq("the", "a", "and", "of", "to", "in", "is")))
         .withColumn("s_de", hit(col("t"), Seq("der", "die", "das", "und", "ist", "ein")))
@@ -306,7 +306,7 @@ object PipelineQueries {
             FROM documents) x
       ORDER BY doc_id""")) { (s, dir) =>
       val t = col("t")
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .withColumn("t", toks(col("text")))
         .select(
           col("doc_id"),
@@ -330,7 +330,7 @@ object PipelineQueries {
              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
              CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents").select(
+      Tables.dfSpread(s, dir, "documents").select(
         col("doc_id"),
         size(split(col("text"), "\\s+")).as("n_ws"),
         regexp_count(lower(col("text")), lit("[a-z0-9]+")).as("n_words"),
@@ -352,7 +352,7 @@ object PipelineQueries {
                range(1, greatest(len(toks) - 2, 0) + 1),
                i -> md5(array_to_string(toks[i:i+2], ' '))), 'min') AS fp_min_shingle
       FROM t ORDER BY doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
         .withColumn("toks", toks(col("text")))
         .select(
@@ -375,7 +375,7 @@ object PipelineQueries {
              md5(text) AS digest,
              to_base64(substr(text, 1, 12)::BLOB) AS head_b64
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents").select(
+      Tables.dfSpread(s, dir, "documents").select(
         col("doc_id"),
         octet_length(col("text").cast("binary")).as("n_bytes"),
         md5(col("text")).as("digest"),

@@ -54,7 +54,7 @@ object PipelineQueries2 {
         JOIN embeddings q ON q.vec_id = c.q_id
         JOIN embeddings n ON n.vec_id = c.n_id) t
       WHERE rn <= 5 ORDER BY q_id, rn""")) { (s, dir) =>
-      val e = Tables.df(s, dir, "embeddings")
+      val e = Tables.dfSpread(s, dir, "embeddings")
       // Gate path uses the deterministic first-16 quantizer (the DuckDB
       // oracle replicates it); SPARK_GRAFT_IVF_TRAINED=1 swaps in k-means
       // centroids (IvfIndexSpec covers that path — no SQL-expressible oracle
@@ -97,7 +97,7 @@ object PipelineQueries2 {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
-      val docs = Tables.df(s, dir, "documents")
+      val docs = Tables.dfSpread(s, dir, "documents")
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           split(lower(col("text")), "\\s+"), 3))).as("shingle"))
@@ -146,7 +146,7 @@ object PipelineQueries2 {
           AND len(string_split_regex(text, '\s+')) >= 8
         GROUP BY md5(lower(text))) d""")) { (s, dir) =>
       val toks = size(split(col("text"), "\\s+"))
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .filter(col("n_chars").between(60, 500) && toks >= 8)
         .groupBy(md5(lower(col("text"))).as("h"))
         .agg(count(lit(1)).as("dup_cnt"), min(toks).as("toks"))

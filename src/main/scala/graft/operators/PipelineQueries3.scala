@@ -39,7 +39,7 @@ object PipelineQueries3 {
   /** The p02 LSH candidate pairs (3-shingles → 8 minhashes → 4 bands of 2),
     * reused as the edge source for component resolution. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.df(s, dir, "documents")
+    val docs = Tables.dfSpread(s, dir, "documents")
       .withColumn("sh", shingles(toks(col("text")), 3))
     val withSig = docs.withColumn("sig",
       graft.functions.NativeExpressions.minhashSignature(col("sh"), 8))
@@ -172,7 +172,7 @@ object PipelineQueries3 {
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
       val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
       val ipPat = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
-      Tables.df(s, dir, "documents").select(
+      Tables.dfSpread(s, dir, "documents").select(
         col("doc_id"),
         md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
           lit("https?://[^ ]+"), lit("<URL>")),
@@ -216,7 +216,7 @@ object PipelineQueries3 {
       GROUP BY c.doc_id, b.bench_id
       HAVING count(DISTINCT c.g) >= 3
       ORDER BY doc_id, bench_id""")) { (s, dir) =>
-      val grams = Tables.df(s, dir, "documents")
+      val grams = Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), explode(shingles(toks(col("text")), 5)).as("g"))
       val bench = grams.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("bench_id"), col("g"))
@@ -244,7 +244,7 @@ object PipelineQueries3 {
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rn
         FROM documents) t
       WHERE rn <= 5 ORDER BY lang, doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
           .orderBy(md5(concat(col("doc_id").cast("string"), lit(":graft"))), col("doc_id"))))
         .filter(col("rn") <= 5)
@@ -270,7 +270,7 @@ object PipelineQueries3 {
              round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio,
              round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_mass
       FROM tf GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents")
+      Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))

@@ -57,7 +57,7 @@ object PipelineQueries4 {
       JOIN embeddings y ON y.vec_id = vec_b
       WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
       ORDER BY vec_a, vec_b""")) { (s, dir) =>
-      val e = Tables.df(s, dir, "embeddings")
+      val e = Tables.dfSpread(s, dir, "embeddings")
       // nlist scales as ceil(sqrt(N)) — the balanced flat-IVF sizing: cell
       // population ~2*sqrt(N) (multi-probe 2), so BOTH the N*nlist
       // assignment term and the nlist*(N/nlist)^2 pair term grow as N^1.5.
@@ -114,7 +114,7 @@ object PipelineQueries4 {
              round(CAST(count(*) FILTER (WHERE nd >= 2) AS DOUBLE) / count(*), 6) AS dup_fraction
       FROM sp JOIN cnt USING (h)
       GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
-      val tt = Tables.df(s, dir, "documents")
+      val tt = Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 10)
       val sp = tt.select(col("doc_id"), explode(array_distinct(transform(
@@ -156,7 +156,7 @@ object PipelineQueries4 {
              round(avg(ln(coalesce(top.c, 0.5) / tot.n)), 6) AS avg_logp
       FROM toks t LEFT JOIN top ON t.tok = top.tok CROSS JOIN tot
       GROUP BY t.doc_id ORDER BY t.doc_id""")) { (s, dir) =>
-      val toksDf = Tables.df(s, dir, "documents")
+      val toksDf = Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       val tf = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       val tot = tf.agg(sum(col("c")).as("n"))
@@ -201,7 +201,7 @@ object PipelineQueries4 {
       SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, h
       FROM batch WHERE h NOT IN (SELECT h FROM snap)
       GROUP BY h ORDER BY doc_id""")) { (s, dir) =>
-      Tables.df(s, dir, "documents").createOrReplaceTempView("p26_documents")
+      Tables.dfSpread(s, dir, "documents").createOrReplaceTempView("p26_documents")
       s.sql("""
         WITH snap AS (
           SELECT md5(text) AS h FROM p26_documents WHERE doc_id % 3 = 0),
@@ -249,7 +249,7 @@ object PipelineQueries4 {
              round(sum(0.0 - (CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 6) AS lang_entropy,
              min(CASE WHEN rn = 1 THEN lang END) AS top_lang
       FROM r GROUP BY source ORDER BY source""")) { (s, dir) =>
-      val c = Tables.df(s, dir, "documents")
+      val c = Tables.dfSpread(s, dir, "documents")
         .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
       val share = col("n").cast("double") / col("tot")
       val r = c
@@ -295,7 +295,7 @@ object PipelineQueries4 {
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS tokens
       FROM c GROUP BY lang, bin ORDER BY lang, bin""")) { (s, dir) =>
-      val t = Tables.df(s, dir, "documents")
+      val t = Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(toks(col("text"))).cast("long").as("n_tokens"))
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

@@ -55,7 +55,7 @@ object PipelineQueries5 {
              CAST(least($ChunkSize, len(tk) - start) AS BIGINT) AS n_tok,
              md5(array_to_string(list_slice(tk, start + 1, start + $ChunkSize), ' ')) AS chunk_md5
       FROM st ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
-      val t = Tables.df(s, dir, "documents")
+      val t = Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
       t.select(col("doc_id"), col("tk"),
           explode(sequence(lit(0L), size(col("tk")).cast("long") - 1L,
@@ -95,7 +95,7 @@ object PipelineQueries5 {
              round(pow(tokens, 0.3) / z, 6) AS weight,
              round((pow(tokens, 0.3) / z) / (tokens / all_tokens), 6) AS epochs
       FROM per CROSS JOIN tot ORDER BY source""")) { (s, dir) =>
-      val per = Tables.df(s, dir, "documents")
+      val per = Tables.dfSpread(s, dir, "documents")
         .select(col("source"), size(toks(col("text"))).cast("long").as("n"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
