@@ -78,12 +78,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"group-agg should shuffle once (+order), got $exchanges")
   }
 
-  test("p07 (LSH signatures): map-only — zero shuffle exchanges before sort") {
+  test("p07 (LSH signatures): map-only — no data-keyed shuffle before sort") {
     val nodes = collectAll(planOf(run("p07_similarity_lsh")))
-    val exchanges = nodes.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
-    // only the final ORDER BY may exchange
-    assert(exchanges <= 1, s"signature stage must not shuffle, got $exchanges")
+    // Tables.dfSpread may add ONE round-robin exchange to parallelize the
+    // single-row-group local scan; what the signature stage must never do
+    // is shuffle on a DATA-derived key (hash/range on columns).
+    val keyed = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.outputPartitioning
+    }.filterNot(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+    // only the final ORDER BY may range-exchange
+    assert(keyed.size <= 1, s"signature stage must not shuffle on a data key, got $keyed")
   }
 
   test("p17 (capped jaccard): DF via aggregate, no window over the shingle key") {
