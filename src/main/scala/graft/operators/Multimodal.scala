@@ -72,6 +72,65 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 64-bit average hash (aHash): mean luminance per cell of an 8x8 grid,
+      * bit i set when cell i is brighter than the grid mean. Cell averages
+      * are computed directly (no Graphics2D resampling), so the hash is a
+      * pure arithmetic function of the pixels — deterministic across JVMs —
+      * and resolution-independent for content whose structure is coarser
+      * than the grid (the property perceptual dedup relies on: the same
+      * image at 64px and 128px hashes identically, a different image
+      * differs in ~half the bits). */
+    def averageHash(img: java.awt.image.BufferedImage): Long = {
+      val cells = new Array[Double](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          val cell = math.min(7, y * 8 / img.getHeight) * 8 +
+            math.min(7, x * 8 / img.getWidth)
+          cells(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val avgs = cells.indices.map(i => if (counts(i) == 0) 0.0 else cells(i) / counts(i))
+      val mean = avgs.sum / 64.0
+      avgs.zipWithIndex.foldLeft(0L) { case (h, (a, i)) =>
+        if (a > mean) h | (1L << i) else h
+      }
+    }
+
+    /** Deterministic SCALE-INVARIANT PNG: an 8x8 block pattern whose
+      * on/off cells are the bits of md5(seed), rendered at any resolution
+      * divisible by 8. The same seed at different sizes is pixel-different
+      * but perceptually identical — the fixture class aHash dedup exists
+      * to catch. */
+    def syntheticBlockPng(size: Int, seed: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"block:$seed".getBytes("UTF-8"))
+      val img = new java.awt.image.BufferedImage(size, size,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < size) {
+        var x = 0
+        while (x < size) {
+          val cell = (y * 8 / size) * 8 + (x * 8 / size)
+          val on = (md(cell / 8) >> (cell % 8) & 1) == 1
+          img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Deterministic PNG generator (test fixture support). */
     def syntheticPng(w: Int, h: Int, seed: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -108,6 +109,147 @@ object PipelineQueries5 {
           round((pow(col("tokens"), lit(0.3)) / col("z")) /
             (col("tokens") / col("all_tokens")), 6).as("epochs"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------- duplicated substring runs (p32)
+
+    // Cross-document duplicated substring-RUN detection — the exact-span
+    // tier of substring dedup (the signal suffix-array dedup à la Lee et
+    // al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    // extracts; here re-expressed as a k-gram inverted index + island
+    // merge, the shape that distributes). A position is duplicated when its
+    // k-token gram occurs in ≥2 DISTINCT docs; consecutive duplicated
+    // positions merge into maximal runs; per doc we report run count, gram
+    // count, the longest run's token length, and the exact count of tokens
+    // covered by at least one duplicated gram (consecutive runs closer
+    // than k overlap in tokens — the lag-window term subtracts that
+    // overlap, so no second pass over the position set is needed).
+    //
+    // Scale shape: one scan → row-local gram explode → groupBy(gram)
+    // [partial-agg collapses repeats before the shuffle] → shuffle join
+    // back on gram → per-doc windows (bounded by doc length) → per-doc agg.
+    // Every shuffle is keyed (gram, then doc); no all-pairs stage, no
+    // driver state — at 100 TB the gram index is the same one-shuffle
+    // inverted index every substring-dedup pipeline builds.
+    QueryDef("p32_substring_runs", Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+      p AS (
+        SELECT doc_id, tk,
+               unnest(list_transform(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1),
+                 x -> CAST(x AS BIGINT))) AS pos
+        FROM t WHERE len(tk) >= 8),
+      g AS (
+        SELECT doc_id, pos, md5(array_to_string(tk[pos:pos+7], ' ')) AS g FROM p),
+      dg AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dg)),
+      r AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d),
+      isl AS (
+        SELECT doc_id, grp, min(pos) AS start, count(*) AS len
+        FROM r GROUP BY doc_id, grp),
+      cov AS (
+        SELECT doc_id, len,
+               len + 7 AS covtok,
+               lag(start + len + 6) OVER (PARTITION BY doc_id ORDER BY start) AS prev_end,
+               start
+        FROM isl),
+      per AS (
+        SELECT doc_id,
+               sum(len) AS dup_grams,
+               count(*) AS dup_spans,
+               max(len + 7) AS max_span_tok,
+               sum(covtok) - sum(greatest(0, coalesce(prev_end - start + 1, 0))) AS dup_tok_cov
+        FROM cov GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
+             CAST(coalesce(dup_spans, 0) AS BIGINT) AS dup_spans,
+             CAST(coalesce(max_span_tok, 0) AS BIGINT) AS max_span_tok,
+             CAST(coalesce(dup_tok_cov, 0) AS BIGINT) AS dup_tok_cov
+      FROM t LEFT JOIN per USING (doc_id) ORDER BY doc_id""")) { (s, dir) =>
+      val k = 8
+      val docs = Tables.dfSpread(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val grams = docs
+        .filter(size(col("tk")) >= k)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1L), (size(col("tk")) - (k - 1)).cast("long")),
+            i => struct(i.as("pos"),
+              md5(concat_ws(" ", slice(col("tk"), i.cast("int"), lit(k)))).as("g")))).as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+      // grams seen in >= 2 distinct docs; the join back is gram-keyed
+      // (shuffle join at scale — both sides partition on g).
+      val dupG = grams.groupBy(col("g"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("g"))
+      val dup = grams.join(dupG, Seq("g")).select(col("doc_id"), col("pos"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val islands = dup
+        .withColumn("grp", col("pos") - row_number().over(byDoc))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("start"), count(lit(1)).as("len"))
+      val byStart = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      val per = islands
+        .withColumn("prev_end", lag(col("start") + col("len") + (k - 2), 1).over(byStart))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("len")).as("dup_grams"),
+          count(lit(1)).as("dup_spans"),
+          max(col("len") + (k - 1)).as("max_span_tok"),
+          (sum(col("len") + (k - 1)) -
+            sum(greatest(lit(0L), coalesce(col("prev_end") - col("start") + 1, lit(0L)))))
+            .as("dup_tok_cov"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          coalesce(col("max_span_tok"), lit(0L)).as("max_span_tok"),
+          coalesce(col("dup_tok_cov"), lit(0L)).as("dup_tok_cov"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------ image perceptual dedup (p33)
+
+    // Image near-duplicate detection by 64-bit average hash over REAL
+    // decoded pixels (pure-JDK ImageIO — see [[Multimodal]]): each document
+    // carries a deterministic PNG rendered at one of three resolutions from
+    // a seed shared by doc_id%40, so the corpus contains genuine
+    // pixel-different / perceptually-identical duplicates the byte-level
+    // tiers (p01) cannot see. Decode + hash run partition-local
+    // (mapPartitions, one decoder per partition); clusters are one
+    // groupBy(hash). No DuckDB oracle — image decode is not SQL-expressible
+    // — so the gate records the weaker rows-only check; MultimodalSpec
+    // pins the hash's scale-invariance and the exact cluster structure.
+    //
+    // Scale shape: map-only decode+hash, one shuffle on the 64-bit hash;
+    // per-cluster state is the bounded member list of a near-dup cluster
+    // (the p02 caveat class). At 100 TB the decode stage is the pipeline's
+    // dominant CPU cost and parallelizes per split.
+    QueryDef("p33_image_phash_dedup", None) { (s, dir) =>
+      import s.implicits._
+      val assets = Tables.dfSpread(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 40).cast("int").as("seed"),
+          (lit(64) + (col("doc_id") % 3).cast("int") * 32).as("px"))
+        .as[(Long, Int, Int)]
+      val hashed = assets.mapPartitions { it =>
+        it.map { case (docId, seed, px) =>
+          val png = Multimodal.ImageCodec.syntheticBlockPng(px, seed)
+          val img = Multimodal.ImageCodec.decode(png).get
+          (docId, px, Multimodal.ImageCodec.averageHash(img))
+        }
+      }.toDF("doc_id", "px", "ahash")
+      hashed.groupBy(col("ahash"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("n_imgs"),
+          count_distinct(col("px")).as("n_sizes"))
+        .filter(col("n_imgs") > 1)
+        .select(col("rep_id"), col("n_imgs"), col("n_sizes"),
+          hex(col("ahash")).as("ahash_hex"))
+        .orderBy(col("rep_id"))
     }
   )
 }

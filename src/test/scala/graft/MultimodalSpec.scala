@@ -84,6 +84,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img2.getWidth == 200 && img2.getHeight == 100, "never upscales")
   }
 
+  test("averageHash: resolution-invariant for block content, discriminative across seeds") {
+    import graft.operators.Multimodal.ImageCodec
+    def hashAt(size: Int, seed: Int): Long =
+      ImageCodec.averageHash(ImageCodec.decode(ImageCodec.syntheticBlockPng(size, seed)).get)
+    // same seed at all three p33 resolutions → identical 64-bit hash
+    for (seed <- Seq(0, 7, 39)) {
+      val hs = Seq(64, 96, 128).map(hashAt(_, seed))
+      assert(hs.distinct.size == 1, s"seed $seed must hash identically at all sizes, got $hs")
+    }
+    // different seeds → different hashes (40 distinct fixtures, 0 collisions)
+    val all = (0 until 40).map(hashAt(64, _))
+    assert(all.distinct.size == 40, "the 40 p33 seeds must yield 40 distinct hashes")
+  }
+
+  test("p33: perceptual clusters pair pixel-different renditions of the same seed") {
+    val out = SparkEntry.queries("p33_image_phash_dedup")(spark, SharedSpark.sf).collect()
+    assert(out.nonEmpty, "gate corpus must contain perceptual duplicates")
+    // every cluster spans multiple resolutions — the case byte dedup misses
+    assert(out.forall(_.getAs[Long]("n_sizes") >= 2))
+    // clusters are keyed by seed = doc_id % 40: representative is the seed
+    assert(out.forall(r => r.getAs[Long]("rep_id") % 40 == r.getAs[Long]("rep_id")))
+  }
+
   test("Graft.stream yields rows incrementally") {
     val g = Graft(spark)
     g.registerDir(SharedSpark.sf)
