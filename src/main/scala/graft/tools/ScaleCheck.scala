@@ -40,7 +40,8 @@ object ScaleCheck {
     "p01_dedup_exact", "p02_dedup_minhash", "p17_dedup_jaccard_capped",
     "p18_dedup_components", "p29_dedup_components_star",
     "p20_contamination", "p23_semantic_dedup", "p25_unigram_lm",
-    "p30_doc_chunking", "p31_mixing_weights")
+    "p30_doc_chunking", "p31_mixing_weights",
+    "p32_substring_runs", "p33_image_phash_dedup")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
