@@ -77,13 +77,24 @@ object Bench {
       * forces full materialization of every column (count() would let
       * Catalyst prune the projections we mean to measure). A failed query
       * records no time, never its time-until-throw — a broken query must
-      * not read as a fast success in the bench JSON. */
+      * not read as a fast success in the bench JSON.
+      *
+      * After the passes, any query whose trials are dispersion-suspect
+      * (BenchCanary.spreadSuspect — an intra-trial load spike the canary's
+      * between-measurement sampling cannot see) is re-timed ONCE; if the
+      * dispersion persists with the retry included, the query is flagged in
+      * the artifact's `spread_flagged` list (round-6 ADVICE: the official
+      * r6 run carried unflagged 32-55s single-trial spikes). */
     def measure(qs: Map[String, (SparkSession, String) => DataFrame])
-        : Seq[(String, Double, Double, Vector[Double])] = {
+        : Seq[(String, Double, Double, Vector[Double], Boolean)] = {
       val names = qs.keys.toSeq.sorted
       def once(name: String): Boolean =
         try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
+      def timed(name: String): Option[Double] = {
+        val t0 = System.nanoTime()
+        if (once(name)) Some((System.nanoTime() - t0) / 1e9) else None
+      }
       val warmOk: Map[String, Boolean] = names.map(n => n -> once(n)).toMap
       val trialTimes = scala.collection.mutable.Map[String, Vector[Double]]()
         .withDefaultValue(Vector.empty)
@@ -100,15 +111,19 @@ object Bench {
           System.gc()
           canarySamples += canaryOnce()
         }
-        val t0 = System.nanoTime()
-        if (once(name)) trialTimes(name) = trialTimes(name) :+ (System.nanoTime() - t0) / 1e9
+        timed(name).foreach(t => trialTimes(name) = trialTimes(name) :+ t)
+        measured += 1
+      }
+      // Dispersion pass: one retry per suspect query, then flag survivors.
+      for (name <- names if BenchCanary.spreadSuspect(trialTimes(name))) {
+        timed(name).foreach(t => trialTimes(name) = trialTimes(name) :+ t)
         measured += 1
       }
       names.map { name =>
         val ts = trialTimes(name)
         val median = if (ts.size < trials) -1.0 else ts.sorted.apply(ts.size / 2)
         val min = if (ts.isEmpty) -1.0 else ts.min
-        (name, median, min, ts)
+        (name, median, min, ts, BenchCanary.spreadSuspect(ts))
       }
     }
 
@@ -117,7 +132,7 @@ object Bench {
     // skipped when SPARK_GRAFT_ONLY narrows the run or CLICKBENCH=0
     val cbResults =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_CLICKBENCH").contains("0"))
-        Seq.empty[(String, Double, Double, Vector[Double])]
+        Seq.empty[(String, Double, Double, Vector[Double], Boolean)]
       else measure(ClickBench.queries)
     canarySamples += canaryOnce()
 
@@ -130,24 +145,27 @@ object Bench {
     val canaryMedian = BenchCanary.sessionMedian(canarySamples.toSeq)
     val loadFlag = BenchCanary.loadFlag(canarySamples.toSeq)
 
-    def medJson(rs: Seq[(String, Double, Double, Vector[Double])]): String =
-      rs.map { case (k, med, _, _) => s"\"" + k + "\":" + med }.mkString("{", ",", "}")
-    def fullJson(rs: Seq[(String, Double, Double, Vector[Double])]): String =
-      rs.map { case (k, med, min, ts) =>
+    def medJson(rs: Seq[(String, Double, Double, Vector[Double], Boolean)]): String =
+      rs.map { case (k, med, _, _, _) => s"\"" + k + "\":" + med }.mkString("{", ",", "}")
+    def fullJson(rs: Seq[(String, Double, Double, Vector[Double], Boolean)]): String =
+      rs.map { case (k, med, min, ts, spread) =>
         s"\"" + k + "\":{\"median\":" + med + ",\"min\":" + min +
-          ",\"trials\":" + ts.mkString("[", ",", "]") + "}"
+          ",\"trials\":" + ts.mkString("[", ",", "]") +
+          ",\"spread_flagged\":" + spread + "}"
       }.mkString("{", ",", "}")
 
     val total = results.map(_._2).filter(_ >= 0).sum
     val cbTotal = cbResults.map(_._2).filter(_ >= 0).sum
-    val errs = (results ++ cbResults).collect { case (k, med, _, _) if med < 0 => "\"" + k + "\"" }
+    val errs = (results ++ cbResults).collect { case (k, med, _, _, _) if med < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${medJson(results)},"clickbench":${medJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag}"""
+    val spreadFlagged = (results ++ cbResults)
+      .collect { case (k, _, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${medJson(results)},"clickbench":${medJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag}"""
 
     // Full artifact on disk: the driver's tail-capture truncates the stdout
     // line, so rounds could not be compared query-by-query without this.
     val canaryJson = canarySamples.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -25,10 +25,37 @@ import org.apache.spark.sql.expressions.Window
   * Correct for any input; efficient whenever the value domain is bounded
   * (integral quantities, fixed-point prices) — the per-key histogram the
   * window sorts is tiny even when the group itself is billions of rows.
+  *
+  * ==Choosing a variant==
+  *
+  * Two shapes, one decision rule — is the VALUE DOMAIN bounded?
+  *
+  *  - [[percentiles]] / [[fromHistogram]] (one-level histogram): use when
+  *    distinct values per key are bounded and small relative to the rows
+  *    (integral quantities, enum codes, fixed-point values on a narrow
+  *    range). One scan, one shuffle of (key, value) counts; state = the
+  *    distinct-value histogram. On a HIGH-cardinality domain (raw prices,
+  *    timestamps, doubles) this silently degenerates: partial aggregation
+  *    collapses nothing and the shuffle is data-sized.
+  *  - [[refined]] / [[refinedDynamic]] (two-phase bucketed selection): use
+  *    for high-cardinality domains. Two scans, but every shuffle is
+  *    BUCKET-bounded (phase A ships per-bucket counts; phase B ships only
+  *    the rows of the ≤2 candidate buckets per target) — survives a 100x
+  *    scale-up where the one-level histogram's shuffle grows with the data.
+  *
+  * q76 groups a 50-value integral domain → one-level. q41's p90 over
+  * l_extendedprice (~every value distinct) → two-phase. When unsure,
+  * two-phase: its overhead on a bounded domain is one extra scan; the
+  * one-level form's failure mode on an unbounded domain is a data-sized
+  * shuffle.
   */
 object ExactPercentile {
 
   /** Exact percentile(s) of one value column per group.
+    *
+    * Precondition (efficiency, not correctness): the value domain should be
+    * bounded — see "Choosing a variant" above. High-cardinality values make
+    * the (key, value) shuffle data-sized; use [[refined]] there.
     *
     * @param ps (fraction, outputColumn) pairs, e.g. `Seq(0.5 -> "med")`.
     * @return one row per distinct key: (keyCol, outputs...)
@@ -56,6 +83,9 @@ object ExactPercentile {
       keyCol: String,
       ps: Seq[(Double, String)],
       extraAggs: Seq[Column] = Nil): DataFrame = {
+    require(ps.nonEmpty || extraAggs.nonEmpty,
+      "fromHistogram needs at least one percentile fraction or extra aggregate " +
+        "(both ps and extraAggs were empty)")
     val byVal = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
     // Same partition+order spec with an unbounded frame → Catalyst computes
     // both sums in ONE Window operator over one sort, no second pass.
@@ -211,11 +241,14 @@ object ExactPercentile {
     val wanted = Seq(floor(posA), ceil(posA))
       .map(r => col("__cum") - col("__c") <= r && col("__cum") > r)
       .reduce(_ || _)
-    // Rename every target column so the probe-side names stay unambiguous.
+    // Rename every target column — keys AND service columns — so probe-side
+    // names stay unambiguous even when `data` itself carries __below/__n/__p
+    // (a caller-prepared frame may: refinedDynamic's does).
     val targets = cum
       .filter(wanted)
       .select(groupKeys.map(k => col(k).as(s"__t_$k")) ++ Seq(col("__b").as("__t_b"),
-        (col("__cum") - col("__c")).as("__below"), col("__n"), col("__p")): _*)
+        (col("__cum") - col("__c")).as("__t_below"), col("__n").as("__t_n"),
+        col("__p").as("__t_p")): _*)
     def bySwitch(f: ((Int, Column, Column)) => Column): Column =
       measures.foldRight(lit(null).cast("double")) { case (m, acc) =>
         when(col("__t___m") === m._1, f(m)).otherwise(acc)
@@ -225,7 +258,8 @@ object ExactPercentile {
     val cand = data.join(broadcast(targets), cond)
       .select(keyCols.map(col) ++ Seq(col("__t___m").as("__m"),
         bySwitch(_._2).cast("double").as("__v"),
-        col("__below"), col("__n"), col("__p")): _*)
+        col("__t_below").as("__below"), col("__t_n").as("__n"),
+        col("__t_p").as("__p")): _*)
     val packed = cand
       .groupBy(keys: _*)
       .agg(
@@ -257,14 +291,18 @@ object ExactPercentile {
     val wanted = Seq(floor(posA), ceil(posA))
       .map(r => col("__cum") - col("__c") <= r && col("__cum") > r)
       .reduce(_ || _)
+    // Service columns take a __t_ prefix so a prepared frame that already
+    // carries __below/__n/__p can never bind ambiguously (keys and __b keep
+    // their names — the USING join below dedups those).
     val targets = coarse
       .filter(wanted)
       .select(keys ++ Seq(col("__b"),
-        (col("__cum") - col("__c")).as("__below"), col("__n"), col("__p")): _*)
+        (col("__cum") - col("__c")).as("__t_below"), col("__n").as("__t_n"),
+        col("__p").as("__t_p")): _*)
     // __p rides the (tiny) target list, so `prepared` needs only keys+__b+__v
-    // — phase B's data-sized probe stays as narrow as possible. A __p left on
-    // the probe side (refinedDynamic's prepared carries one) is dropped to
-    // keep the post-join name unambiguous.
+    // — phase B's data-sized probe stays as narrow as possible; the probe's
+    // own __p (refinedDynamic's prepared carries one) is dropped as dead
+    // weight.
     val cand = prepared.drop("__p").join(broadcast(targets), keyCols :+ "__b")
     // The candidate buckets cover two ADJACENT global ranks (floor/ceil of
     // one fractional position), so their union is rank-contiguous starting
@@ -274,9 +312,9 @@ object ExactPercentile {
       .groupBy(keys: _*)
       .agg(
         sort_array(collect_list(col("__v"))).as("__vs"),
-        min(col("__below")).as("__start"),
-        min(col("__n")).as("__nn"),
-        first(col("__p")).as("__pp"))
+        min(col("__t_below")).as("__start"),
+        min(col("__t_n")).as("__nn"),
+        first(col("__t_p")).as("__pp"))
     val pos = col("__pp") * (col("__nn") - 1).cast("double")
     val lo = floor(pos)
     def at(r: Column): Column =

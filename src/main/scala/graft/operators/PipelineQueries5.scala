@@ -221,15 +221,27 @@ object PipelineQueries5 {
     // pixel-different / perceptually-identical duplicates the byte-level
     // tiers (p01) cannot see. Decode + hash run partition-local
     // (mapPartitions, one decoder per partition); clusters are one
-    // groupBy(hash). No DuckDB oracle — image decode is not SQL-expressible
-    // — so the gate records the weaker rows-only check; MultimodalSpec
-    // pins the hash's scale-invariance and the exact cluster structure.
+    // groupBy(hash).
+    //
+    // Oracle: the decode itself is not SQL-expressible, but the corpus's
+    // duplicate STRUCTURE is — images share pixels iff they share the
+    // doc_id%40 seed, and MultimodalSpec pins aHash scale-invariance across
+    // the three render sizes plus cross-seed hash distinctness, so the
+    // expected clusters are exactly the seed classes. The oracle computes
+    // (rep_id, n_imgs, n_sizes) from doc_id arithmetic without decoding a
+    // byte; the Spark half still decodes real pixels and groups by the real
+    // 64-bit hash, so a decode or hash regression breaks the hash match.
     //
     // Scale shape: map-only decode+hash, one shuffle on the 64-bit hash;
     // per-cluster state is the bounded member list of a near-dup cluster
     // (the p02 caveat class). At 100 TB the decode stage is the pipeline's
     // dominant CPU cost and parallelizes per split.
-    QueryDef("p33_image_phash_dedup", None) { (s, dir) =>
+    QueryDef("p33_image_phash_dedup", Some("""
+      SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+             CAST(count(*) AS BIGINT) AS n_imgs,
+             CAST(count(DISTINCT doc_id % 3) AS BIGINT) AS n_sizes
+      FROM documents GROUP BY doc_id % 40 HAVING count(*) > 1
+      ORDER BY rep_id""")) { (s, dir) =>
       import s.implicits._
       val assets = Tables.dfSpread(s, dir, "documents")
         .select(col("doc_id"), (col("doc_id") % 40).cast("int").as("seed"),
@@ -247,9 +259,51 @@ object PipelineQueries5 {
           count(lit(1)).as("n_imgs"),
           count_distinct(col("px")).as("n_sizes"))
         .filter(col("n_imgs") > 1)
-        .select(col("rep_id"), col("n_imgs"), col("n_sizes"),
-          hex(col("ahash")).as("ahash_hex"))
+        .select(col("rep_id"), col("n_imgs"), col("n_sizes"))
         .orderBy(col("rep_id"))
+    },
+
+    // --------------------------------------------- skew-aware join (p34)
+
+    // Hot-key-salted equi-join ([[SkewJoin]]) exercised end-to-end: events
+    // keyed by a Zipf-ish derived key where ONE key (0) owns ~30% of all
+    // rows (user_id%10 ∈ {0,1,2} collapse onto it) joins a per-key customer
+    // dim. The 10% hot-fraction threshold isolates exactly that key: its
+    // rows join on (k, salt) across 8 replicas while the ~70 cold keys take
+    // the plain path. The oracle is the PLAIN equi-join — the salted plan
+    // must reproduce the identical multiset by construction.
+    //
+    // Scale shape: the hot set is found by one partial-aggregated count
+    // (broadcast 1-row total, no driver collect); only hot keys replicate
+    // build rows (x saltFactor on a tiny slice, never the whole build
+    // side); the cold path is untouched. The fraction threshold keeps the
+    // same query meaningful at any SF — an absolute row threshold tuned at
+    // sf0.01 would salt everything (or nothing) at 100 TB.
+    QueryDef("p34_skew_join", Some("""
+      WITH ev AS (
+        SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id % 100 END AS k, value
+        FROM events),
+      dim AS (
+        SELECT c_custkey % 100 AS k, count(*) AS n_cust FROM customer GROUP BY k)
+      SELECT ev.k AS k,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(ev.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             CAST(max(dim.n_cust) AS BIGINT) AS n_cust
+      FROM ev JOIN dim ON ev.k = dim.k
+      GROUP BY ev.k ORDER BY k""")) { (s, dir) =>
+      val ev = Tables.df(s, dir, "events").select(
+        when(col("user_id") % 10 < 3, lit(0L)).otherwise(col("user_id") % 100).as("k"),
+        col("value"))
+      val dim = Tables.df(s, dir, "customer")
+        .groupBy((col("c_custkey") % 100).as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      SkewJoin.skewAwareJoinByFraction(ev, dim, Seq("k"),
+          hotFraction = 0.1, saltFactor = 8)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"),
+          max(col("n_cust")).as("n_cust"))
+        .orderBy(col("k"))
     }
   )
 }

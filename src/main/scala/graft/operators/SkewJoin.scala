@@ -27,11 +27,14 @@ import org.apache.spark.sql.functions._
   * broadcast set, and the output is the exact multiset the plain join
   * produces.
   *
-  * Identical duplicate probe rows hash to the same salt and therefore land
-  * on the same replica — salting spreads distinct rows of a hot key, not
-  * copies of one row (indistinguishable rows cannot be separated
-  * deterministically; pass `rand`-based salting explicitly if approximate
-  * spread of exact duplicates matters more than retry-determinism).
+  * With the default `deterministic = true`, identical duplicate probe rows
+  * hash to the same salt and therefore land on the same replica — salting
+  * spreads distinct rows of a hot key, not copies of one row
+  * (indistinguishable rows cannot be separated deterministically). Pass
+  * `deterministic = false` to salt with `rand()` instead: exact duplicates
+  * then spread uniformly, at the price that a retried lost task re-assigns
+  * rows differently (safe for an inner join's multiset result, but
+  * downstream consumers must not depend on row placement).
   */
 object SkewJoin {
 
@@ -43,17 +46,50 @@ object SkewJoin {
       build: DataFrame,
       keys: Seq[String],
       hotThreshold: Long,
-      saltFactor: Int = 16): DataFrame = {
+      saltFactor: Int = 16,
+      deterministic: Boolean = true): DataFrame = {
+    val hot = hotKeys(probe, keys, hotThreshold).select(keys.map(col): _*)
+    joinWithHotSet(probe, build, keys, hot, saltFactor, deterministic)
+  }
+
+  /** [[skewAwareJoin]] with the hot threshold expressed as a FRACTION of the
+    * probe's total row count — the form that stays meaningful across data
+    * scales (an absolute row threshold tuned at one SF silently salts
+    * everything, or nothing, at another). The total rides along as a
+    * broadcast 1-row cross join over the per-key counts, never a driver
+    * collect. */
+  def skewAwareJoinByFraction(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      hotFraction: Double,
+      saltFactor: Int = 16,
+      deterministic: Boolean = true): DataFrame = {
+    require(hotFraction > 0.0 && hotFraction <= 1.0, "hotFraction must be in (0, 1]")
+    val kc = keys.map(col)
+    val counts = probe.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"))
+    val hot = counts.crossJoin(broadcast(tot))
+      .filter(col("__n") >= col("__tot") * hotFraction)
+      .select(kc: _*)
+    joinWithHotSet(probe, build, keys, hot, saltFactor, deterministic)
+  }
+
+  private def joinWithHotSet(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      hot: DataFrame,
+      saltFactor: Int,
+      deterministic: Boolean): DataFrame = {
     require(keys.nonEmpty, "skewAwareJoin needs at least one join key")
     require(saltFactor > 1, "saltFactor must be > 1")
-    val kc = keys.map(col)
-    // Partial-agg count per key, keep only the hot ones: tiny by definition.
-    val hot = probe.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= hotThreshold)
-      .select(kc: _*)
-    // Deterministic salt for probe rows: hash of the whole row, so retries
-    // of a lost task re-assign identically (rand() would not).
-    val probeSalt = pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor.toLong))
+    // Salt for probe rows: by default a hash of the whole row, so retries
+    // of a lost task re-assign identically; rand() on request when spreading
+    // exact duplicate rows matters more than retry-determinism.
+    val probeSalt =
+      if (deterministic) pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor.toLong))
+      else (rand() * saltFactor).cast("long")
     val probeHot = probe.join(broadcast(hot), keys, "left_semi")
       .withColumn("__salt", probeSalt)
     val probeCold = probe.join(broadcast(hot), keys, "left_anti")

@@ -23,10 +23,16 @@ class BenchCanarySpec extends AnyFunSuite {
       Seq(0.20, 0.20, 0.20, 0.20, 0.60, 0.62), true),
     ("sustained plateau over most of the run flags via the baseline guard",
       // median (~0.62) is inside the episode so the spike rule is blind,
-      // but median > 2.5x the 0.20 clean-start baseline (median of first 3)
+      // but median > 1.8x the 0.20 clean-start baseline (median of first 3)
       Seq(0.20, 0.21, 0.20, 0.62, 0.63, 0.62, 0.63), true),
-    ("whole-session doubling (2x) stays under the 2.5x plateau guard",
+    ("doubling from sample 2 is absorbed into the first-3 baseline",
+      // the baseline (median of first THREE) already sits at 0.40 here, so
+      // this reads as a slow machine, not an episode — documented limit
       Seq(0.20, 0.40, 0.41, 0.40, 0.41, 0.40), false),
+    ("round-6 official shape (2.15x plateau over a clean 3-sample start) flags",
+      // the contaminated run the old 2.5x factor let through: baseline
+      // 0.15, session median 0.32 -> 2.1x > 1.8x
+      Seq(0.15, 0.15, 0.16, 0.33, 0.32, 0.34, 0.33), true),
     ("anomalously fast single cold sample does not flag a clean aged run",
       // the real 164-query clean-run shape that false-positived when the
       // baseline was samples.head alone: 0.154 cold start, ~0.39 median
@@ -57,5 +63,35 @@ class BenchCanarySpec extends AnyFunSuite {
     val s = Seq(0.20, 0.30, 0.31, 0.20, 0.20, 0.20)
     assert(!BenchCanary.loadFlag(s))
     assert(BenchCanary.loadFlag(s, spikeFactor = 1.2))
+  }
+
+  test("spreadSuspect: round-6 single-trial spike shapes flag") {
+    // p32's official trials: 2.9s median, one 55s outlier
+    assert(BenchCanary.spreadSuspect(Seq(2.9, 2.8, 55.3)))
+    // p05's shape: most trials inflated, min clean (median-gated, not min)
+    assert(BenchCanary.spreadSuspect(Seq(17.9, 16.2, 1.2)))
+  }
+
+  test("spreadSuspect: tight or fast trials do not flag") {
+    // sub-half-second medians are scheduling jitter, any ratio
+    assert(!BenchCanary.spreadSuspect(Seq(0.05, 0.30, 0.04)))
+    // slow but tight
+    assert(!BenchCanary.spreadSuspect(Seq(2.9, 2.8, 3.1)))
+    // moderate dispersion under the 5x bound
+    assert(!BenchCanary.spreadSuspect(Seq(1.0, 2.0, 4.0)))
+    // fewer than two trials can never flag
+    assert(!BenchCanary.spreadSuspect(Seq(9.0)))
+    assert(!BenchCanary.spreadSuspect(Nil))
+  }
+
+  test("spreadSuspect: a clean retry can clear a flagged query") {
+    val suspect = Vector(2.9, 2.8, 55.3)
+    assert(BenchCanary.spreadSuspect(suspect))
+    // retry lands near the true time -> median stays honest, still >5x
+    // max/min: the flag PERSISTS (the artifact must carry it)
+    assert(BenchCanary.spreadSuspect(suspect :+ 2.85))
+    // but when the outlier was the only high sample and retries pile up
+    // clean, a later re-cut with fresh trials clears naturally
+    assert(!BenchCanary.spreadSuspect(Vector(2.9, 2.8, 2.85, 2.95)))
   }
 }
