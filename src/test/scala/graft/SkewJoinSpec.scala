@@ -59,4 +59,35 @@ class SkewJoinSpec extends AnyFunSuite {
     val salted = SkewJoin.skewAwareJoin(probe, build, Seq("k"), hotThreshold = 100000L)
     assert(salted.count() == probe.join(build, Seq("k")).count())
   }
+
+  test("fraction threshold isolates the hot key and matches the plain join") {
+    // id=7 owns 5000/7000 rows (~71%); every cold key owns ~0.14% — a 10%
+    // fraction threshold salts exactly the hot key at ANY data scale,
+    // which an absolute row threshold cannot promise.
+    val salted = SkewJoin.skewAwareJoinByFraction(
+        probe, build, Seq("k"), hotFraction = 0.1, saltFactor = 8)
+      .groupBy(col("k"), col("payload"), col("attr")).agg(count(lit(1)).as("n"))
+    val plain = probe.join(build, Seq("k"))
+      .groupBy(col("k"), col("payload"), col("attr")).agg(count(lit(1)).as("n"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("rand-based salting (deterministic=false) keeps the multiset") {
+    val salted = SkewJoin.skewAwareJoin(probe, build, Seq("k"),
+        hotThreshold = 1000L, saltFactor = 8, deterministic = false)
+      .groupBy(col("k"), col("payload"), col("attr")).agg(count(lit(1)).as("n"))
+    val plain = probe.join(build, Seq("k"))
+      .groupBy(col("k"), col("payload"), col("attr")).agg(count(lit(1)).as("n"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("rand-based salting spreads exact duplicate rows of a hot key") {
+    // 4000 IDENTICAL rows of one key: the whole-row hash necessarily puts
+    // them on one replica (documented degenerate case); rand() spreads them.
+    val dupProbe = spark.range(0, 4000).select(lit(7L).as("k"), lit(1L).as("payload"))
+    val tinyBuild = spark.range(0, 1).select(lit(7L).as("k"), lit("d").as("attr"))
+    val out = SkewJoin.skewAwareJoin(dupProbe, tinyBuild, Seq("k"),
+      hotThreshold = 100L, saltFactor = 8, deterministic = false)
+    assert(out.count() == 4000L)
+  }
 }
