@@ -148,22 +148,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "correlated subqueries must not fall back to a cartesian product")
   }
 
-  test("p23 (semantic dedup): centroids broadcast; pair join is equi on the cell") {
+  test("p23 (semantic dedup): two-level centroids broadcast; pair emission has no self-join") {
     val nodes = collectAll(planOf(run("p23_semantic_dedup")))
-    // the only nested-loop allowed is the corpus×centroids broadcast
-    // (centroids are the tiny side); the pair join itself must be hash
+    // the only nested-loop allowed is the corpus×super-centroids broadcast
+    // (centroids are the tiny side); everything keyed must be hash
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
       "candidate generation must never be an all-pairs cartesian")
-    // the centroid-assignment cross join itself must be the broadcast NLJ
-    // (a BroadcastExchange elsewhere — e.g. a rerank hash join — is not
-    // evidence the centroid side broadcasts), and its broadcast child must
-    // be the filtered centroid subplan, not a corpus-sized relation
+    // level 1: the super-centroid assignment cross join must be the
+    // broadcast NLJ, and its broadcast child must be the filtered centroid
+    // subplan (cvec projection), not a corpus-sized relation
     val bnljs = nodes.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
-    assert(bnljs.nonEmpty, "centroid assignment must be a broadcast nested-loop join")
+    assert(bnljs.nonEmpty, "super-centroid assignment must be a broadcast nested-loop join")
     assert(bnljs.exists { j =>
       collectAll(j).exists(n => n.nodeName.contains("BroadcastExchange")
         && n.toString.contains("cvec"))
-    }, "the BNLJ's broadcast side must be the centroid subplan (cvec projection)")
+    }, "the BNLJ's broadcast side must be the super-centroid subplan (cvec projection)")
+    // level 2: the sub-centroid assignment must be a broadcast HASH join on
+    // sup_id whose broadcast side carries the sub-centroid vectors (bv) —
+    // the k1×k2 frame, never the corpus
+    val bhjs = nodes.filter(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhjs.exists { j =>
+      collectAll(j).exists(n => n.nodeName.contains("BroadcastExchange")
+        && n.toString.contains("bv"))
+    }, "sub-centroid assignment must broadcast the k1*k2 sub-centroid frame (bv)")
+    // candidate pairs come from per-cell collect_list + explode, not a
+    // self-join of the assignment lineage (the q87 double-lineage class)
+    assert(nodes.exists(n => n.nodeName.contains("Generate")),
+      "pair emission must be the per-cell explode pattern")
   }
 
   test("q87 (TPC-H Q2 shape): dims broadcast; correlated min decorrelates — no cartesian") {
