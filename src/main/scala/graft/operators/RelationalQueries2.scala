@@ -54,6 +54,23 @@ object RelationalQueries2 {
       // their re-reduce and the percentile selection are two consumers of
       // the one checkpointed frame — no separate base scan.
       //
+      // LATENCY FLOOR (round-7 measurement, tools/ProfileQ41j-m): at sf0.1
+      // the local median is ~1.3-1.5s and resists restructuring because the
+      // input is a SINGLE-ROW-GROUP parquet file — every data pass runs its
+      // scan stage on one core (phase-A melt+agg ~0.6s, phase-B probe
+      // ~0.43s single-threaded floors), and the remaining ~0.3-0.4s is
+      // per-job scheduling (an empty noop job measures ~0.1s; the
+      // checkpoint + broadcast builds + final make ~4 jobs). Alternatives
+      // measured and rejected: round-robin spreading the scan (2.4x WORSE —
+      // the full-row shuffle costs more than the single-core partial agg it
+      // parallelizes), a (flag, qty, price-bucket) cross-aggregation
+      // without the melt (~data-sized shuffle: 156k cells defeat map-side
+      // collapse), fused single-long agg/join keys + broadcast-base tail
+      // (~5%, within session noise). On a multi-split file (any real
+      // dataset, or 100 TB) the scan stages parallelize and the same plan's
+      // wall-clock is dominated by the two bounded shuffles — the structure
+      // is right; the constant is this file layout's.
+      //
       // Hot-path details, each measured on the 1.2M-row melt:
       //  - ALL-INT GROUPING KEYS: grouping by the raw strings
       //    (l_returnflag, a measure tag) more than doubles the hash-agg
