@@ -101,4 +101,54 @@ class ExactPercentileSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == Map("a" -> 2.0))
   }
+
+  test("high-cardinality domain: two-phase shuffle stays bucket-bounded (decision rule)") {
+    // Every value distinct — the domain where the one-level histogram
+    // degenerates to a data-sized shuffle and the scaladoc decision rule
+    // says: use `refined`.
+    val hiCard = (1 to 5000).map(i => (s"g${i % 2}", i * 1.0001)).toDF("k", "v")
+    val width = 500.0
+    // Phase-A state for `refined` is one row per (key, bucket) — assert the
+    // bucket domain is orders of magnitude under the value domain, so the
+    // only data-sized stage is the map-side partial aggregation.
+    val nValues = hiCard.select($"k", $"v").distinct().count()
+    val nBuckets = hiCard.select($"k", floor($"v" / width)).distinct().count()
+    assert(nValues == 5000L)
+    assert(nBuckets <= 26L, s"bucket domain must stay tiny, got $nBuckets")
+    // And the two-phase result is still exact.
+    val want = hiCard.groupBy($"k").agg(expr("percentile(v, 0.9)").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = ExactPercentile.refined(hiCard, "k", $"v", Seq(0.9 -> "r"),
+        v => floor(v / width))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, w) <- want) assert(math.abs(got(k) - w) < 1e-9)
+  }
+
+  test("fromHistogram rejects an empty selection with a clear message") {
+    val hist = Seq(("a", 1.0, 3L)).toDF("k", "__v", "__c")
+    val e = intercept[IllegalArgumentException] {
+      ExactPercentile.fromHistogram(hist, "k", Nil)
+    }
+    assert(e.getMessage.contains("at least one percentile fraction"))
+    // extraAggs alone is a legal selection (the q41 re-reduce shape)
+    val out = ExactPercentile.fromHistogram(hist, "k", Nil, Seq(sum($"__c").as("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L))
+  }
+
+  test("probe frames carrying service-column names do not bind ambiguously") {
+    // A caller-prepared frame that already has __below/__n/__p columns (the
+    // round-6 ADVICE hazard): target-side service columns are __t_-prefixed,
+    // so the join must neither throw nor bind the wrong column.
+    val prepared = data
+      .select($"k", $"v".as("__v"))
+      .withColumn("__b", floor($"__v" / 10).cast("long"))
+      .withColumn("__p", lit(0.5))
+      .withColumn("__below", lit(-1L)) // poison: wrong values if ever read
+      .withColumn("__n", lit(-1L))
+    val got = ExactPercentile.refinedDynamic(prepared, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assertAgree(got, 0.5)
+  }
 }
