@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   *     bench_full.json, so a single inflated trial is visible as such instead
   *     of silently dragging the median.
   *   - A fixed CANARY workload (constant spark.range aggregation, independent
-  *     of any gate query) is re-timed every ~20 timed measurements. If any
-  *     canary sample drifts >1.5x above the session-start canary baseline,
-  *     the run is flagged ("load_flag": true) — a flagged run means machine
-  *     load moved under the bench and per-query numbers should be re-measured
-  *     before being graded.
+  *     of any gate query) is re-timed every ~20 timed measurements and twice
+  *     more post-run after a GC. Flag rules (see [[BenchCanary]]): a
+  *     consecutive-sample spike episode, a session-median plateau vs the
+  *     first-3-sample median, or post-GC tail drift vs the pristine pre-run
+  *     baseline. Mid-run samples are deliberately NOT compared to the
+  *     pristine baseline: they run on the heels of query blocks and the
+  *     bench's own residue lifts them ~2x even on an idle machine (measured,
+  *     round 7). A flagged run means something beyond the bench's own
+  *     workload moved underneath it — re-measure before grading.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -136,14 +140,27 @@ object Bench {
       else measure(ClickBench.queries)
     canarySamples += canaryOnce()
 
+    // Post-run tail: after a GC drops the session's own residue, the canary
+    // must return to its pre-run cost. Mid-run samples CANNOT be compared to
+    // the pristine baseline — they run right after query blocks and sit ~2x
+    // high from the bench's own residue even on an idle machine (measured:
+    // two round-7 full runs, loaded and quiet, both at 1.94-2.03x, both
+    // falling to 0.6x of baseline the moment measurement stopped). Tail
+    // drift >1.5x over the pristine baseline = load still present or a
+    // session leak; either way the run is flagged.
+    System.gc()
+    val canaryTail = Seq(canaryOnce(), canaryOnce())
+
     // Flag semantics live in BenchCanary (unit-tested): two consecutive
     // samples >1.75x the session median (external load episode — the median
-    // basis tolerates the ~1.5x uniform mid-session aging a cold baseline
-    // would flag every run on), OR session median >2.5x the session-start
-    // baseline (a load plateau spanning half the run raises the median and
-    // would otherwise mask itself).
+    // basis tolerates the uniform mid-session residue a cold baseline would
+    // flag every run on), OR session median >1.8x the first-3-sample median
+    // (a load plateau spanning half the run — the first-3 basis includes two
+    // mid-run samples, so it compares like with like), OR post-GC tail
+    // drift >1.5x the pristine baseline (above).
     val canaryMedian = BenchCanary.sessionMedian(canarySamples.toSeq)
-    val loadFlag = BenchCanary.loadFlag(canarySamples.toSeq)
+    val loadFlag = BenchCanary.loadFlag(canarySamples.toSeq) ||
+      BenchCanary.tailDrift(canaryBaseline, canaryTail)
 
     def medJson(rs: Seq[(String, Double, Double, Vector[Double], Boolean)]): String =
       rs.map { case (k, med, _, _, _) => s"\"" + k + "\":" + med }.mkString("{", ",", "}")
@@ -165,7 +182,8 @@ object Bench {
     // Full artifact on disk: the driver's tail-capture truncates the stdout
     // line, so rounds could not be compared query-by-query without this.
     val canaryJson = canarySamples.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_samples":$canaryJson,"load_flag":$loadFlag}"""
+    val tailJson = canaryTail.mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_samples":$canaryJson,"canary_tail":$tailJson,"load_flag":$loadFlag}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }

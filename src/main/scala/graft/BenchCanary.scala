@@ -46,6 +46,29 @@ object BenchCanary {
     spike || plateau
   }
 
+  /** Post-run drift rule (round 7). The mid-run canary median is NOT
+    * comparable to the pristine pre-run baseline: every mid-run sample is
+    * taken immediately after a block of query trials, and the bench's own
+    * residue (shuffle/broadcast blocks awaiting the ContextCleaner, JIT and
+    * GC pressure) lifts those samples ~2x even on an idle machine — two
+    * round-7 full runs, one under external load and one quiet, both measured
+    * session-median/pristine-baseline at 1.94-2.03x while their END-of-run
+    * samples fell back to 0.6x of baseline once the workload stopped. So the
+    * honest signal for "something persistent moved under this run" is the
+    * TAIL: after all measurement and a GC, the canary should return to its
+    * pre-run cost. `tailSamples` are taken post-run/post-GC; the MIN is
+    * compared (a single tail sample can still catch a scheduling blip) and
+    * drift beyond `factor` (1.5x) over the pristine baseline flags the run —
+    * external load still present, or a genuine session leak; either way the
+    * numbers deserve a re-measure.
+    */
+  def tailDrift(
+      pristineBaseline: Double,
+      tailSamples: Seq[Double],
+      factor: Double = 1.5): Boolean =
+    pristineBaseline > 0 && tailSamples.nonEmpty &&
+      tailSamples.min > pristineBaseline * factor
+
   /** Per-query intra-trial dispersion rule (round-6 ADVICE — the canary sees
     * load BETWEEN measurements; a spike INSIDE one query's trials, e.g. the
     * 55s p32 trial against a 2.9s median in the round-6 official run, is

@@ -84,6 +84,29 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(!BenchCanary.spreadSuspect(Nil))
   }
 
+  test("tailDrift: post-GC tail back at baseline is clean (round-7 quiet-run shape)") {
+    // quiet round-7 run: pristine baseline 0.208, post-run tail 0.125 —
+    // mid-run samples sat at ~2x from the bench's own residue, which is
+    // exactly why the tail (not the mid-run median) carries the signal
+    assert(!BenchCanary.tailDrift(0.208, Seq(0.125, 0.131)))
+    // tail equal to baseline: clean
+    assert(!BenchCanary.tailDrift(0.20, Seq(0.20, 0.21)))
+  }
+
+  test("tailDrift: tail still elevated after GC flags") {
+    // external load persisting past the run's end, or a session leak
+    assert(BenchCanary.tailDrift(0.20, Seq(0.45, 0.52)))
+    // MIN of the tail pair decides: one scheduling blip does not flag...
+    assert(!BenchCanary.tailDrift(0.20, Seq(0.55, 0.22)))
+    // ...but both elevated does
+    assert(BenchCanary.tailDrift(0.20, Seq(0.55, 0.31)))
+  }
+
+  test("tailDrift: degenerate inputs never flag") {
+    assert(!BenchCanary.tailDrift(0.20, Nil))
+    assert(!BenchCanary.tailDrift(0.0, Seq(0.9, 0.9)))
+  }
+
   test("spreadSuspect: a clean retry can clear a flagged query") {
     val suspect = Vector(2.9, 2.8, 55.3)
     assert(BenchCanary.spreadSuspect(suspect))
