@@ -132,12 +132,18 @@ object Bench {
     }
 
     val results = measure(selected)
-    // ClickBench-shaped perf corpus (separate section, same instrument);
-    // skipped when SPARK_GRAFT_ONLY narrows the run or CLICKBENCH=0
+    // ClickBench-shaped perf corpus (separate section, same instrument).
+    // SPARK_GRAFT_CLICKBENCH=0 skips it; SPARK_GRAFT_ONLY narrows it by the
+    // same prefix rule as the relational loop (SPARK_GRAFT_ONLY=cb runs the
+    // cb section ALONE in a fresh session — the session-position A/B that
+    // separates plan regressions from end-of-session residue).
+    val cbSelected =
+      if (only.isEmpty) ClickBench.queries
+      else ClickBench.queries.filter { case (k, _) => only.exists(k.startsWith) }
     val cbResults =
-      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_CLICKBENCH").contains("0"))
+      if (cbSelected.isEmpty || sys.env.get("SPARK_GRAFT_CLICKBENCH").contains("0"))
         Seq.empty[(String, Double, Double, Vector[Double], Boolean)]
-      else measure(ClickBench.queries)
+      else measure(cbSelected)
     canarySamples += canaryOnce()
 
     // Post-run tail: after a GC drops the session's own residue, the canary
