@@ -41,7 +41,8 @@ object ScaleCheck {
     "p18_dedup_components", "p29_dedup_components_star",
     "p20_contamination", "p23_semantic_dedup", "p25_unigram_lm",
     "p30_doc_chunking", "p31_mixing_weights",
-    "p32_substring_runs", "p33_image_phash_dedup")
+    "p32_substring_runs", "p33_image_phash_dedup",
+    "p34_skew_join", "p35_bm25_topk", "p36_cdc_chunking", "p37_bigram_lm")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
