@@ -221,6 +221,66 @@ object RelationalQueries3 {
       // returned DataFrame is already analyzed, so clearing is safe)
       g.clearVisibilityFilters("customer")
       df
+    },
+
+    // AS-OF join — each 'click' event matched to the same user's most
+    // recent 'purchase' at-or-before its timestamp (the time-series
+    // point-in-time lookup the brief names as a custom-operator candidate;
+    // Spark has no native ASOF). Implementation is the scale-safe
+    // union-carry shape, NOT a per-event range probe:
+    //   1. right side pre-reduced per (user, ts) so ties are deterministic
+    //      (max event_id wins — (user_id, ts) is unique in the generated
+    //      data, so this is a documented guard, not a behavior change);
+    //   2. both sides tagged and unioned, ONE shuffle on user_id;
+    //   3. a running max over struct(ts, event_id, value) with frame
+    //      [unbounded preceding, current] carries the latest right row
+    //      forward — WindowExec evaluates this as a streaming running
+    //      aggregate with O(1) state per partition, so a hot user costs a
+    //      sort, never memory;
+    //   4. side ordering (right=0 before left=1 at equal ts) implements the
+    //      inclusive ">=" bound; no join-back — the carried struct already
+    //      holds the payload.
+    // The DuckDB oracle is the engine's NATIVE ASOF LEFT JOIN — an
+    // independent implementation of the semantics, not a mirror of this
+    // plan.
+    QueryDef("q91_asof_join", Some("""
+      WITH r AS (
+        SELECT user_id, ts,
+               max(event_id) AS r_event_id,
+               max_by(value, event_id) AS r_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      SELECT l.event_id, l.user_id, l.ts,
+             r.ts AS asof_ts,
+             r.r_event_id AS asof_event_id,
+             round(r.r_value, 6) AS asof_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""")) { (s, dir) =>
+      val e = Tables.df(s, dir, "events")
+      val r = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("r_event_id"),
+          max_by(col("value"), col("event_id")).as("r_value"))
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"),
+          struct(col("ts").as("t"), col("r_event_id").as("eid"),
+            col("r_value").as("v")).as("payload"))
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id"),
+          lit(null).cast("struct<t:timestamp,eid:bigint,v:double>").as("payload"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.unionByName(l)
+        .withColumn("carried", max(col("payload")).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("carried.t").as("asof_ts"),
+          col("carried.eid").as("asof_event_id"),
+          round(col("carried.v"), 6).as("asof_value"))
+        .orderBy(col("event_id"))
     }
   )
 }
