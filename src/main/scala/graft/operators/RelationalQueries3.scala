@@ -234,9 +234,11 @@ object RelationalQueries3 {
     //   2. both sides tagged and unioned, ONE shuffle on user_id;
     //   3. a running max over struct(ts, event_id, value) with frame
     //      [unbounded preceding, current] carries the latest right row
-    //      forward — WindowExec evaluates this as a streaming running
-    //      aggregate with O(1) state per partition, so a hot user costs a
-    //      sort, never memory;
+    //      forward — the running-max AGGREGATE state is O(1), while
+    //      WindowExec itself still buffers each user_id partition's rows
+    //      in a spillable ExternalAppendOnlyUnsafeRowBuffer, so a hot
+    //      user costs a sort plus spillable buffering, never unbounded
+    //      heap;
     //   4. side ordering (right=0 before left=1 at equal ts) implements the
     //      inclusive ">=" bound; no join-back — the carried struct already
     //      holds the payload.
