@@ -108,15 +108,17 @@ object PipelineQueries7 {
       val grams = t.select(col("source"),
         explode(transform(sequence(lit(1L), (size(col("tk")) - 2).cast("long")),
           i => md5(concat_ws(" ", slice(col("tk"), i.cast("int"), lit(3)))))).as("g"))
-      val dg = grams.distinct()
-      val dExact = dg.groupBy(col("source")).agg(count(lit(1)).as("d_exact"))
+      // One pass over the distinct-gram set: the rank window and the final
+      // per-source aggregate share the same source-hash partitioning, and
+      // computing d_exact as count(*) of the SAME windowed frame avoids a
+      // second aggregation subtree + join (the first cut paid 7 exchanges
+      // and recomputed the distinct twice; this shape pays 3).
       val bySrc = Window.partitionBy(col("source")).orderBy(col("g"))
-      val kth = dg
+      grams.distinct()
         .withColumn("rnk", row_number().over(bySrc))
-        .filter(col("rnk") <= KmvK)
         .groupBy(col("source"))
-        .agg(max(expr(hexFracSql("g"))).as("kth"))
-      dExact.join(kth, Seq("source"))
+        .agg(count(lit(1)).as("d_exact"),
+          max(when(col("rnk") <= KmvK, expr(hexFracSql("g")))).as("kth"))
         .select(col("source"),
           col("d_exact"),
           round(lit((KmvK - 1).toDouble) / col("kth"), 4).as("est"),
