@@ -83,6 +83,50 @@ object DocumentStreams {
       .select(col("doc_id"), explode(spanHashes(col("text"), 10, 5)).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
 
+  /** Streaming KMV distinct-cardinality sketch — the incremental form of
+    * p38: per source, maintain the k lexicographically-smallest DISTINCT
+    * md5 trigram-shingle hashes seen so far (hex order IS numeric order for
+    * fixed-width lowercase hex) and emit the standard (k-1)/h_(k) estimate
+    * each update. The state is exactly k 32-char strings per source —
+    * O(k), bounded for the stream's lifetime with no watermark needed,
+    * which is the whole point of shipping a sketch instead of streaming
+    * count(DISTINCT): the estimator's state does not grow with the corpus.
+    *
+    * Custom state via flatMapGroupsWithState (not an unsupported streaming
+    * distinct-aggregate): merge each micro-batch's row-local-distinct gram
+    * hashes into the retained k-minimum set. The k-th retained FULL hash
+    * keys the estimate; only its first 13 hex digits (52 bits — exact in a
+    * double) are ever converted to a number, so the estimate is
+    * bit-identical to the batch p38 value over the same corpus (pinned by
+    * StreamingSpec).
+    */
+  def kmvSketch(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), explode(spanHashes(col("text"), 3, 1)).as("g"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[String], (String, Int, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (source, rows, state: org.apache.spark.sql.streaming.GroupState[Array[String]]) =>
+          val cur = state.getOption.getOrElse(Array.empty[String])
+          val merged = (cur ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length == k) {
+              // 13 hex digits = 52 bits: exact in an IEEE double, and
+              // v / 16^13 equals the batch side's Horner fraction bit-for-bit.
+              val frac = java.lang.Long.parseLong(merged.last.substring(0, 13), 16)
+                .toDouble / math.pow(16.0, 13.0)
+              (k - 1).toDouble / frac
+            } else -1.0
+          Iterator((source, merged.length, est))
+      }
+      .toDF("source", "n_retained", "est")
+  }
+
   /** Streaming benchmark-contamination — the p20 semantics with the corpus
     * ARRIVING as a stream and the benchmark gram set STATIC (eval suites
     * change rarely): a stream-static equi-join on the gram (the static side

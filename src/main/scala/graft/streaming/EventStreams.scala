@@ -101,10 +101,26 @@ object EventStreams {
   /** Read the events table as a bounded stream (used by tests; in production
     * the source would be kafka/files arriving continuously). Watermarks
     * require TIMESTAMP (with local tz), not NTZ — with the session pinned to
-    * UTC the wall-clock values are identical. */
-  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream.schema(rawEventSchema)
+    * UTC the wall-clock values are identical.
+    *
+    * Timestamp precision is probed from the files, mirroring Tables.df's
+    * conditional: TIMESTAMP(NANOS) parquet surfaces as long nanos (under
+    * spark.sql.legacy.parquet.nanosAsLong) and is truncated to µs;
+    * micro-precision files surface as a native timestamp and pass through.
+    * The testdata has shipped BOTH precisions across rounds — a fixed
+    * nanos assumption silently mis-dates µs files by 1000x. */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val schema = StructType(rawEventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 }

@@ -202,4 +202,28 @@ class StreamingSpec extends AnyFunSuite {
         && a.getLong(2) == b.getLong(2))
     }
   }
+
+  test("streaming KMV sketch equals the batch p38 estimator bit-for-bit") {
+    val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
+    val q = graft.streaming.DocumentStreams.kmvSketch(stream, 64)
+      .writeStream.outputMode("update").format("memory").queryName("kmv_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // Last emitted estimate per source (single micro-batch here, but the
+    // contract is the same under any batching: state holds the k-minimum
+    // distinct set regardless of arrival order).
+    val streamed = spark.table("kmv_out")
+      .groupBy(col("source")).agg(last(col("est")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = SparkEntry.allDefs.find(_.name == "p38_kmv_distinct").get
+      .run(spark, SharedSpark.sf)
+      .select(col("source"), col("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (src, bEst) =>
+      // batch rounds to 4 decimals for the gate; apply the same grid here
+      val sEst = math.rint(streamed(src) * 1e4) / 1e4
+      assert(sEst == bEst, s"$src: streaming est $sEst != batch est $bEst")
+    }
+  }
 }
