@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{QueryDef, Tables}
+import graft.{Functions, QueryDef, Tables}
 
 /** Pipeline coverage batch 7 — corpus statistics and curation stages of a
   * training-data pipeline:
@@ -21,6 +21,10 @@ import graft.{QueryDef, Tables}
   *  - p41 vocabulary pruning / OOV-rate filtering: top-V vocabulary by
   *    corpus frequency, broadcast back, per-document out-of-vocabulary
   *    rate as a keep/drop signal, reported per language.
+  *  - p42 Zipf frequency-slope profiling: log-log OLS over the per-source
+  *    word frequency table — the boilerplate/template-collapse diagnostic.
+  *  - p43 label-centroid coherence: per-label embedding centroids and
+  *    cosine coherence of members against their own centroid.
   *
   * Float determinism convention (as batch 6): per-row floating values are
   * either exact by construction (hex-fraction via Horner on powers of two,
@@ -282,6 +286,132 @@ object PipelineQueries7 {
           round(sum(round(rate, 9).cast("decimal(38,9)")).cast("double") /
             count(lit(1)), 6).as("avg_oov"))
         .orderBy(col("lang"))
+    },
+
+    // --------------------------------- Zipf frequency-slope profiling (p42)
+
+    // Heavy-tail profiling: fit log(freq) ~ slope * log(rank) + intercept
+    // per source over the word frequency table (ordinary least squares on
+    // the log-log curve — natural text sits near slope -1; a source whose
+    // slope collapses toward 0 is template/boilerplate-heavy, a classic
+    // corpus-quality diagnostic). All sums run on the 1e-9 decimal grid, so
+    // the regression is order-independent and engine-exact; ln() outputs
+    // are gridded before any arithmetic so a last-ulp libm divergence
+    // between engines cannot surface.
+    //
+    // Scale shape: the corpus collapses to (source, word) counts in one
+    // partial-agg shuffle; ranking and regression run over vocabulary-sized
+    // sets (the per-source window sorts |vocab_s| rows, not documents).
+    QueryDef("p42_zipf_slope", Some("""
+      WITH wc AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents)
+        GROUP BY source, w),
+      r AS (
+        SELECT source, c, w,
+               row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+        FROM wc),
+      g AS (
+        SELECT source,
+               round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+               round(ln(CAST(c AS DOUBLE)), 9) AS y
+        FROM r),
+      s AS (
+        SELECT source,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+        FROM g GROUP BY source)
+      SELECT source,
+             CAST(n AS BIGINT) AS n_vocab,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept
+      FROM s ORDER BY source""")) { (s, dir) =>
+      val wc = Tables.dfSpread(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val bySrc = Window.partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+      val g = wc.withColumn("rnk", row_number().over(bySrc))
+        .select(col("source"),
+          round(log(col("rnk").cast("double")), 9).as("x"),
+          round(log(col("c").cast("double")), 9).as("y"))
+      def gridSum(c: Column) = sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+      val agg = g.groupBy(col("source")).agg(
+        count(lit(1)).cast("double").as("n"),
+        gridSum(col("x")).as("sx"),
+        gridSum(col("y")).as("sy"),
+        gridSum(col("x") * col("y")).as("sxy"),
+        gridSum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      agg.select(col("source"),
+        col("n").cast("long").as("n_vocab"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------ label-centroid coherence (p43)
+
+    // Per-label embedding centroids + cosine coherence — the E-step view a
+    // curation pipeline uses to audit class structure (a label whose
+    // members barely correlate with their own centroid is noisy or merged).
+    // Centroid components are decimal-grid means (order-independent, both
+    // engines exact); each vector's cosine against its centroid runs
+    // through the same fused native kernel as p05 (index-order
+    // accumulation, matching DuckDB's list_cosine_similarity bit-for-bit).
+    //
+    // Scale shape: posexplode is row-local; the (label, dim) partial agg
+    // has output bounded by |labels| * dims regardless of corpus size; the
+    // centroid table (|labels| rows) is BROADCAST back, so per-vector
+    // cosine is map-only; the final per-label agg is tiny. One corpus-sized
+    // keyed shuffle total.
+    QueryDef("p43_label_centroids", Some("""
+      WITH u AS (
+        SELECT label, vec_id,
+               unnest(list_transform(range(1, CAST(len(embedding) AS BIGINT) + 1),
+                 x -> CAST(x AS BIGINT))) AS dim,
+               embedding
+        FROM embeddings),
+      uv AS (SELECT label, vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS val FROM u),
+      cent AS (
+        SELECT label, dim,
+               CAST(sum(CAST(round(val, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS m
+        FROM uv GROUP BY label, dim),
+      cvec AS (SELECT label, list(m ORDER BY dim) AS cv FROM cent GROUP BY label),
+      c AS (
+        SELECT e.label, e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv) AS cos
+        FROM embeddings e JOIN cvec ON e.label = cvec.label)
+      SELECT label,
+             count(*) AS n_vecs,
+             round(CAST(sum(CAST(round(cos, 9) AS DECIMAL(38,9))) AS DOUBLE)
+                   / count(*), 6) AS avg_cos,
+             round(min(cos), 6) AS min_cos
+      FROM c GROUP BY label ORDER BY label""")) { (s, dir) =>
+      val e = Tables.df(s, dir, "embeddings")
+      val uv = e.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("col").cast("double").as("val"))
+      val cent = uv.groupBy(col("label"), col("dim"))
+        .agg((sum(round(col("val"), 9).cast("decimal(38,9)")).cast("double") /
+          count(lit(1))).as("m"))
+      val cvec = cent.groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim").as("d"), col("m").as("m")))),
+          x => x.getField("m")).as("cv"))
+      val cosCol = Functions.cosineSimilarity(col("embedding"), col("cv"))
+      e.join(broadcast(cvec), Seq("label"))
+        .withColumn("cos", cosCol)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("cos"), 9).cast("decimal(38,9)")).cast("double") /
+            count(lit(1)), 6).as("avg_cos"),
+          round(min(col("cos")), 6).as("min_cos"))
+        .orderBy(col("label"))
     }
   )
 }

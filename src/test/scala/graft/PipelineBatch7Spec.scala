@@ -64,4 +64,34 @@ class PipelineBatch7Spec extends AnyFunSuite {
       assert(avg > 0.0 && avg < 1.0, s"$lang: avg_oov $avg outside (0,1)")
     }
   }
+
+  test("p42: every source fits a negative slope with positive intercept") {
+    val rows = byName("p42_zipf_slope").run(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nVocab, slope, intercept) =>
+      assert(nVocab > 1, s"$src: vocabulary too small for a fit")
+      // frequency is non-increasing along rank by construction => OLS slope
+      // on the log-log curve cannot be positive
+      assert(slope <= 0.0, s"$src: positive Zipf slope $slope")
+      // intercept approximates ln(top frequency) > 0 for any real corpus
+      assert(intercept > 0.0, s"$src: non-positive intercept $intercept")
+    }
+  }
+
+  test("p43: per-label cohesion stats are valid cosines and cover all vectors") {
+    val out = byName("p43_label_centroids").run(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val total = Tables.df(spark, SharedSpark.sf, "embeddings").count()
+    assert(out.map(_._2).sum == total, "centroid stats do not cover every vector")
+    out.foreach { case (label, n, avg, min) =>
+      assert(n > 0)
+      assert(min >= -1.0 - 1e-9 && min <= 1.0 + 1e-9, s"label $label: min_cos $min")
+      assert(avg >= min, s"label $label: avg_cos $avg below min_cos $min")
+      assert(avg <= 1.0 + 1e-9, s"label $label: avg_cos $avg above 1")
+    }
+  }
 }
