@@ -25,6 +25,10 @@ import graft.{Functions, QueryDef, Tables}
   *    word frequency table — the boilerplate/template-collapse diagnostic.
   *  - p43 label-centroid coherence: per-label embedding centroids and
   *    cosine coherence of members against their own centroid.
+  *  - p44 leakage-safe split: deterministic train/val/test assignment
+  *    hashed on the leakage unit (source), never the document.
+  *  - p45 vocabulary KL divergence: per-source distribution drift vs the
+  *    corpus mix.
   *
   * Float determinism convention (as batch 6): per-row floating values are
   * either exact by construction (hex-fraction via Horner on powers of two,
@@ -412,6 +416,106 @@ object PipelineQueries7 {
             count(lit(1)), 6).as("avg_cos"),
           round(min(col("cos")), 6).as("min_cos"))
         .orderBy(col("label"))
+    },
+
+    // ------------------------------ leakage-safe train/val/test split (p44)
+
+    // Deterministic 80/10/10 split keyed on the LEAKAGE UNIT (source), not
+    // the document: every document of a source lands in the same split, so
+    // near-duplicates inside a source can never straddle train/test — the
+    // property document-level random splits silently violate. Assignment is
+    // the md5 hex-fraction of the source name (same Horner grid as p38 —
+    // reproducible across engines, runs, and cluster sizes with no stored
+    // split table).
+    //
+    // Scale shape: assignment is a row-local expression; the only shuffle
+    // is the final split-keyed partial agg. Rebalancing a skewed split
+    // means changing the salt, never re-shuffling data.
+    QueryDef("p44_leakage_safe_split", Some(s"""
+      WITH t AS (
+        SELECT source, doc_id,
+               len(string_split_regex(lower(text), '\\s+')) AS n_tok,
+               ${hexFracSql("md5(source)")} AS f
+        FROM documents),
+      a AS (
+        SELECT source, doc_id, n_tok,
+               CASE WHEN f < 0.8 THEN 'train'
+                    WHEN f < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM t)
+      SELECT split,
+             count(DISTINCT source) AS n_sources,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM a GROUP BY split ORDER BY split""")) { (s, dir) =>
+      val t = Tables.df(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tok"),
+          expr(hexFracSql("md5(source)")).as("f"))
+      t.withColumn("split",
+          when(col("f") < 0.8, "train").when(col("f") < 0.9, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+        .orderBy(col("split"))
+    },
+
+    // ----------------------- per-source vocabulary KL divergence (p45)
+
+    // Distribution-drift monitoring: KL(P_source || Q_corpus) over the word
+    // distribution — the per-cut drift statistic a corpus dashboard tracks
+    // (a source whose KL jumps is shifting vocabulary vs the mix). No
+    // smoothing needed: a source's vocabulary is a subset of the corpus
+    // vocabulary, so Q(w) > 0 wherever P(w) > 0. Probabilities are exact
+    // integer ratios; the ln of each ratio is gridded before the product
+    // and the products re-gridded before decimal summation, so the
+    // divergence is order-independent and engine-exact.
+    //
+    // Scale shape: one (source, word) partial-agg shuffle off the corpus;
+    // everything downstream is vocabulary-sized (per-source totals
+    // broadcast, corpus word counts broadcast, 1-row grand total).
+    QueryDef("p45_vocab_kl", Some("""
+      WITH wc AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents)
+        GROUP BY source, w),
+      ts AS (SELECT source, CAST(sum(c) AS DOUBLE) AS t_s FROM wc GROUP BY source),
+      qw AS (SELECT w, CAST(sum(c) AS DOUBLE) AS cw FROM wc GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM wc),
+      term AS (
+        SELECT wc.source,
+               round((wc.c / t_s) * round(ln((wc.c / t_s) / (cw / t)), 9), 9) AS kterm
+        FROM wc
+        JOIN ts ON wc.source = ts.source
+        JOIN qw ON wc.w = qw.w
+        CROSS JOIN tot)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_vocab,
+             round(CAST(sum(CAST(kterm AS DECIMAL(38,9))) AS DOUBLE), 6) AS kl
+      FROM term GROUP BY source ORDER BY source""")) { (s, dir) =>
+      val wc = Tables.dfSpread(s, dir, "documents")
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val ts = wc.groupBy(col("source")).agg(sum(col("c")).cast("double").as("t_s"))
+      val qw = wc.groupBy(col("w")).agg(sum(col("c")).cast("double").as("cw"))
+      // Grand total from the |sources|-row frame, not a third wc consumer:
+      // per-source totals are exact integers in doubles (< 2^53), so their
+      // sum equals the oracle's sum(c) bit-for-bit. The remaining wc
+      // consumers share one corpus pass at runtime via exchange reuse
+      // (executed plan carries ReusedExchange; PLANS.md counts pre-AQE).
+      val tot = ts.agg(sum(col("t_s")).as("t"))
+      val p = col("c") / col("t_s")
+      val q = col("cw") / col("t")
+      wc.join(broadcast(ts), Seq("source"))
+        .join(broadcast(qw), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), round(p * round(log(p / q), 9), 9).as("kterm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab"),
+          round(sum(col("kterm").cast("decimal(38,9)")).cast("double"), 6).as("kl"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -44,7 +44,8 @@ object ScaleCheck {
     "p32_substring_runs", "p33_image_phash_dedup",
     "p34_skew_join", "p35_bm25_topk", "p36_cdc_chunking", "p37_bigram_lm",
     "p38_kmv_distinct", "p39_token_budget", "p40_bpe_pairs", "p41_vocab_prune",
-    "p42_zipf_slope", "p43_label_centroids")
+    "p42_zipf_slope", "p43_label_centroids", "p44_leakage_safe_split",
+    "p45_vocab_kl")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

@@ -94,4 +94,34 @@ class PipelineBatch7Spec extends AnyFunSuite {
       assert(avg <= 1.0 + 1e-9, s"label $label: avg_cos $avg above 1")
     }
   }
+
+  test("p44: splits partition the corpus and no source straddles splits") {
+    val rows = byName("p44_leakage_safe_split").run(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.df(spark, SharedSpark.sf, "documents")
+    val totalDocs = docs.count()
+    val totalSources = docs.select("source").distinct().count()
+    assert(rows.map(_._3).sum == totalDocs, "splits do not partition documents")
+    // sum of per-split distinct sources == global distinct sources <=> no
+    // source appears in two splits (assignment is a function of source)
+    assert(rows.map(_._2).sum == totalSources,
+      s"a source straddles splits: ${rows.toSeq}")
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.find(_._1 == "train").exists(_._3 > 0), "empty train split")
+  }
+
+  test("p45: KL divergences are non-negative and finite") {
+    val rows = byName("p45_vocab_kl").run(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nVocab, kl) =>
+      assert(nVocab > 0)
+      // Gibbs' inequality modulo the 1e-9 summation grid
+      assert(kl >= -1e-5, s"$src: negative KL $kl")
+      assert(!kl.isNaN && !kl.isInfinite, s"$src: non-finite KL")
+      assert(kl < 10.0, s"$src: implausibly large KL $kl for a shared vocabulary")
+    }
+  }
 }
