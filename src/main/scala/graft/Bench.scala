@@ -31,10 +31,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftSession.prepare(spark)
+    def newSession(): SparkSession = {
+      val s = GraftSession.builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      GraftSession.prepare(s)
+      s
+    }
+    var spark = newSession()
 
     // Fixed canary: constant-size range aggregation, no file I/O, no graft
     // code — its runtime moves only when the machine/JVM moves.
@@ -143,7 +147,25 @@ object Bench {
     val cbResults =
       if (cbSelected.isEmpty || sys.env.get("SPARK_GRAFT_CLICKBENCH").contains("0"))
         Seq.empty[(String, Double, Double, Vector[Double], Boolean)]
-      else measure(cbSelected)
+      else {
+        // Measure the cb section from a FRESH session. The gate section
+        // ahead of it grows every round (136 non-cb queries this round vs
+        // 123 in round 6), and its end-of-session residue was inflating cb
+        // medians in proportion to suite size, not plan quality: the round-8
+        // in-session cb total read 16.1 s while the same statements in a
+        // fresh session totaled 12.9 s, with the whole gap concentrated in
+        // the tail statements (cb41 0.91 -> 0.41 s). A session restart
+        // resets the ContextCleaner backlog and block-manager debris, so
+        // the cb section is measured from identical state every round no
+        // matter how large the gate section grows. (JVM/JIT state persists
+        // across the restart; per-query warm passes absorb codegen.)
+        if (only.isEmpty) {
+          spark.stop()
+          spark = newSession()
+          canaryOnce() // re-warm the canary path in the new session
+        }
+        measure(cbSelected)
+      }
     canarySamples += canaryOnce()
 
     // Post-run tail: after a GC drops the session's own residue, the canary
