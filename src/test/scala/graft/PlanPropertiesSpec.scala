@@ -274,4 +274,43 @@ class PlanPropertiesSpec extends AnyFunSuite {
         s"$name must not contain a group-buffering Percentile/Median aggregate:\n$all")
     }
   }
+
+  test("p43 (label centroids): centroid table broadcasts; no sort-merge join") {
+    val plan = planOf(run("p43_label_centroids"))
+    val nodes = collectAll(plan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "centroid join must be a broadcast hash join")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "a labels-sized centroid table must never sort-merge against the corpus")
+  }
+
+  test("p45 (vocab KL): per-source and per-word stats arrive by broadcast") {
+    val plan = planOf(run("p45_vocab_kl"))
+    val nodes = collectAll(plan)
+    val bhj = nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 2, s"expected ts and qw joined by broadcast, saw $bhj BHJ")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "vocabulary-sized stat tables must never sort-merge")
+  }
+
+  test("p40/p44: map-side partial aggregation precedes the only shuffle") {
+    // p40's first groupBy collapses the corpus to its vocabulary and p44's
+    // split agg collapses it to three rows — both depend on partial
+    // (map-side) aggregation so the corpus-sized shuffle moves keys, not
+    // rows. HashAggregate appearing below the exchange is that guarantee.
+    for (name <- Seq("p40_bpe_pairs", "p44_leakage_safe_split")) {
+      val plan = planOf(run(name))
+      val nodes = collectAll(plan)
+      val partialAggs = nodes.collect {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if h.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => h
+      }
+      assert(partialAggs.nonEmpty, s"$name: no map-side partial aggregation found")
+    }
+  }
 }
