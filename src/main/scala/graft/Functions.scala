@@ -132,11 +132,57 @@ object Functions {
       def outputEncoder = Encoders.DOUBLE
     }
 
+  /** KMV (k-minimum-values) distinct-cardinality sketch aggregate
+    * (Bar-Yossef et al. 2002): feeds on md5 hex hashes, keeps the k
+    * lexicographically-smallest DISTINCT values (hex order IS numeric
+    * order for fixed-width lowercase hex), and finishes with the standard
+    * (k-1)/h_(k) estimate, or -1 when fewer than k distinct hashes were
+    * seen (estimate undefined; callers fall back to the exact count they
+    * can afford at that size).
+    *
+    * This is the aggregation form of the p38 pipeline operator and the
+    * streaming `DocumentStreams.kmvSketch` state: O(k) buffer per group on
+    * the MAP side too (partial aggregation trims to k before any shuffle),
+    * and merge is associative/commutative, so the result is independent of
+    * partitioning — the property that lets 1000 executors sketch a corpus
+    * cut without re-shuffling it. Only the k-th retained hash's first 13
+    * hex digits (52 bits — exact in a double) are ever converted to a
+    * number, so estimates are bit-identical across engines, partitionings,
+    * and the batch/streaming forms.
+    */
+  def kmvAgg(k: Int): Aggregator[String, Seq[String], Double] =
+    new Aggregator[String, Seq[String], Double] {
+      def zero: Seq[String] = Vector.empty
+      def reduce(b: Seq[String], a: String): Seq[String] =
+        if (a == null) b
+        // fast path: buffer full and a cannot enter the k-minimum set
+        else if (b.size >= k && b.last <= a) b
+        else if (b.contains(a)) b
+        else ((b :+ a).sorted: Seq[String]).take(k)
+      def merge(x: Seq[String], y: Seq[String]): Seq[String] =
+        ((x ++ y).distinct.sorted: Seq[String]).take(k)
+      def finish(b: Seq[String]): Double =
+        if (b.size < k) -1.0
+        else (k - 1).toDouble /
+          (java.lang.Long.parseLong(b.last.substring(0, 13), 16).toDouble /
+            math.pow(16.0, 13.0))
+      def bufferEncoder =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+      def outputEncoder = Encoders.scalaDouble
+    }
+
+  /** [[kmvAgg]] with the library-default k=64 as an untyped Column
+    * aggregate (usable in DataFrame `agg` and registered in SQL as
+    * `kmv_est`). */
+  lazy val kmvEst: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(kmvAgg(64))
+
   // ------------------------------------------------------------ registration
 
   /** Register the reference's non-built-in SQL spellings on a session. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("product", udaf(productAgg))
+    spark.udf.register("kmv_est", kmvEst)
     spark.udf.register("base85_encode", (b: Array[Byte]) => base85Encode(b))
     spark.udf.register("base85_decode", (s: String) => base85Decode(s))
     spark.udf.register("humanize", (n: Long) => humanize(n))

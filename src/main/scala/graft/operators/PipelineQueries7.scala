@@ -116,21 +116,24 @@ object PipelineQueries7 {
       val grams = t.select(col("source"),
         explode(transform(sequence(lit(1L), (size(col("tk")) - 2).cast("long")),
           i => md5(concat_ws(" ", slice(col("tk"), i.cast("int"), lit(3)))))).as("g"))
-      // One pass over the distinct-gram set: the rank window and the final
-      // per-source aggregate share the same source-hash partitioning, and
-      // computing d_exact as count(*) of the SAME windowed frame avoids a
-      // second aggregation subtree + join (the first cut paid 7 exchanges
-      // and recomputed the distinct twice; this shape pays 3).
-      val bySrc = Window.partitionBy(col("source")).orderBy(col("g"))
+      // One pass over the distinct-gram set through the MERGEABLE sketch
+      // aggregate (Functions.kmvAgg): O(k) buffer per source on the map
+      // side (partial aggregation trims to the k minima before the
+      // shuffle), merge associative, NO per-source sort of the distinct
+      // set — the shape 1000 executors can run without ever materializing
+      // a source's gram set in one place. The aggregator converts only the
+      // k-th retained hash's first 13 hex digits (52 bits, exact in a
+      // double), producing the same value as the oracle's Horner fraction
+      // bit-for-bit (equality with the window form and the streaming twin
+      // pinned in SketchSpec/StreamingSpec).
       grams.distinct()
-        .withColumn("rnk", row_number().over(bySrc))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("d_exact"),
-          max(when(col("rnk") <= KmvK, expr(hexFracSql("g")))).as("kth"))
+          Functions.kmvEst(col("g")).as("est_raw"))
         .select(col("source"),
           col("d_exact"),
-          round(lit((KmvK - 1).toDouble) / col("kth"), 4).as("est"),
-          round(lit(100.0) * (lit((KmvK - 1).toDouble) / col("kth") - col("d_exact")) /
+          round(col("est_raw"), 4).as("est"),
+          round(lit(100.0) * (col("est_raw") - col("d_exact")) /
             col("d_exact"), 4).as("err_pct"))
         .orderBy(col("source"))
     },
