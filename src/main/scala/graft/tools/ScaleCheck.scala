@@ -45,7 +45,9 @@ object ScaleCheck {
     "p34_skew_join", "p35_bm25_topk", "p36_cdc_chunking", "p37_bigram_lm",
     "p38_kmv_distinct", "p39_token_budget", "p40_bpe_pairs", "p41_vocab_prune",
     "p42_zipf_slope", "p43_label_centroids", "p44_leakage_safe_split",
-    "p45_vocab_kl")
+    "p45_vocab_kl",
+    "p46_pmi_collocations", "p47_kmeans_embeddings", "p48_weighted_sample",
+    "p49_boilerplate_segments", "p50_source_overlap", "p51_embed_quantize")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

@@ -313,4 +313,38 @@ class PlanPropertiesSpec extends AnyFunSuite {
       assert(partialAggs.nonEmpty, s"$name: no map-side partial aggregation found")
     }
   }
+
+  test("p47 (k-means): assignment is map-only — centroids broadcast, never shuffled") {
+    val nodes = collectAll(planOf(run("p47_kmeans_embeddings")))
+    // the packed single-row centroid frame rides a BroadcastNestedLoopJoin
+    // (the audited-benign 1-row class); the corpus must never reach a
+    // shuffled join to be assigned
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "expected the packed centroid row to arrive by broadcast")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")) &&
+      !nodes.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "k-means assignment must not shuffle the corpus into a join")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "no cartesian product in the k-means plan")
+  }
+
+  test("p46/p51: vocabulary/stat tables arrive by broadcast — no sort-merge join") {
+    for (name <- Seq("p46_pmi_collocations", "p51_embed_quantize")) {
+      val nodes = collectAll(planOf(run(name)))
+      assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+        s"$name: expected broadcast joins for the bounded stat tables")
+      assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+        s"$name: a vocabulary/dims-sized table must never sort-merge against the corpus")
+    }
+  }
+
+  test("p50 (source overlap): one gram-keyed shuffle join; count tables broadcast") {
+    val nodes = collectAll(planOf(run("p50_source_overlap")))
+    val shuffled = nodes.count(n => n.nodeName.contains("SortMergeJoin") ||
+      n.nodeName.contains("ShuffledHashJoin"))
+    assert(shuffled <= 1,
+      s"expected at most the intersection join to shuffle, saw $shuffled shuffled joins")
+    val bhj = nodes.count(_.nodeName.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected per-source distinct counts joined by broadcast, saw $bhj")
+  }
 }
