@@ -83,6 +83,26 @@ object DocumentStreams {
       .select(col("doc_id"), explode(spanHashes(col("text"), 10, 5)).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
 
+  /** Incremental boilerplate-segment index — the streaming form of p49's
+    * document-frequency stage: the running number of documents (per source)
+    * containing each 3-token segment, keyed on the segment's md5 so state
+    * rows stay fixed-width. Segmentation and the per-document distinct are
+    * row-local, so the only stateful stage is the keyed count — one state
+    * row per distinct (source, segment), the same footprint as the batch
+    * groupBy; a crossing of the boilerplate threshold is visible the
+    * micro-batch it happens. Documents carry no event time, so production
+    * bounds this state with an ingest-time watermark — the [[spanCounts]]
+    * contract. */
+  def boilerplateCounts(docs: DataFrame): DataFrame = {
+    val t = split(lower(col("text")), "\\s+")
+    docs.filter(size(t) >= 3)
+      .select(col("source"),
+        explode(array_distinct(transform(
+          sequence(lit(1L), floor(size(t) / 3).cast("long")),
+          i => md5(concat_ws(" ", slice(t, (i * 3 - 2).cast("int"), lit(3))))))).as("seg"))
+      .groupBy(col("source"), col("seg")).agg(count(lit(1)).as("df"))
+  }
+
   /** Streaming KMV distinct-cardinality sketch — the incremental form of
     * p38: per source, maintain the k lexicographically-smallest DISTINCT
     * md5 trigram-shingle hashes seen so far (hex order IS numeric order for

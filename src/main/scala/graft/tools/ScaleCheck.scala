@@ -47,7 +47,9 @@ object ScaleCheck {
     "p42_zipf_slope", "p43_label_centroids", "p44_leakage_safe_split",
     "p45_vocab_kl",
     "p46_pmi_collocations", "p47_kmeans_embeddings", "p48_weighted_sample",
-    "p49_boilerplate_segments", "p50_source_overlap", "p51_embed_quantize")
+    "p49_boilerplate_segments", "p50_source_overlap", "p51_embed_quantize",
+    "p52_entity_blocking", "p53_length_quantiles", "p54_hard_negatives",
+    "p55_dedup_audit", "p56_product_quantization")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

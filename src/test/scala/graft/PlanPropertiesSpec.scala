@@ -347,4 +347,39 @@ class PlanPropertiesSpec extends AnyFunSuite {
     val bhj = nodes.count(_.nodeName.contains("BroadcastHashJoin"))
     assert(bhj >= 2, s"expected per-source distinct counts joined by broadcast, saw $bhj")
   }
+
+  test("p53 (length quantiles): bounded-histogram module — no group-buffering aggregate") {
+    // same invariant as q41/q76: the quartiles must come from the
+    // ExactPercentile histogram, never Spark's Percentile/Median
+    // TypedImperativeAggregate whose per-group buffer is O(rows)
+    val df = run("p53_length_quantiles")
+    val all = df.queryExecution.optimizedPlan.toString + "\n" + planOf(df).toString
+    assert(!all.contains("percentile(") && !all.contains("Percentile")
+      && !all.contains("median(") && !all.contains("Median"),
+      "p53 must not contain a group-buffering Percentile/Median aggregate")
+    // and the sources-sized quartile frame must broadcast back, not SMJ
+    assert(!collectAll(planOf(df)).exists(_.nodeName.contains("SortMergeJoin")),
+      "the quartile frame must broadcast back onto the corpus")
+  }
+
+  test("p54 (hard negatives): query set broadcasts; argmax by partial agg, no window sort") {
+    val nodes = collectAll(planOf(run("p54_hard_negatives")))
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")) &&
+      !nodes.exists(_.nodeName.contains("ShuffledHashJoin")),
+      "the corpus must never shuffle into the scoring join")
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "per-query argmax must be aggregation, not a window sort")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "no cartesian product — the query subset rides a broadcast")
+  }
+
+  test("p56 (product quantization): coding is map-only — codebooks broadcast") {
+    val nodes = collectAll(planOf(run("p56_product_quantization")))
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "expected the per-subspace codebook to arrive by broadcast hash join")
+    assert(!nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      "the corpus must never sort-merge to be PQ-coded")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      "no cartesian product in the PQ plan")
+  }
 }

@@ -203,6 +203,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental boilerplate-segment index matches the batch p49 df stage") {
+    val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
+    runToMemory(graft.streaming.DocumentStreams.boilerplateCounts(stream), "boiler_cnt")
+    val streamed = spark.table("boiler_cnt")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // batch twin: p49's (source, segment) document-frequency stage over the
+    // same bounded input, on the same md5 segment key
+    val t = split(lower(col("text")), "\\s+")
+    val batch = Tables.df(spark, SharedSpark.sf, "documents")
+      .filter(org.apache.spark.sql.functions.size(t) >= 3)
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1L), floor(org.apache.spark.sql.functions.size(t) / 3).cast("long")),
+          i => md5(concat_ws(" ", slice(t, (i * 3 - 2).cast("int"), lit(3))))))).as("seg"))
+      .groupBy(col("source"), col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the threshold consumer's view: at least one source has a segment at
+    // the batch p49 boilerplate threshold (df >= 2) in this corpus
+    assert(streamed.values.exists(_ >= 2L))
+  }
+
   test("streaming KMV sketch equals the batch p38 estimator bit-for-bit") {
     val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
     val q = graft.streaming.DocumentStreams.kmvSketch(stream, 64)
