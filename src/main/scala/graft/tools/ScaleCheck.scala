@@ -49,7 +49,8 @@ object ScaleCheck {
     "p46_pmi_collocations", "p47_kmeans_embeddings", "p48_weighted_sample",
     "p49_boilerplate_segments", "p50_source_overlap", "p51_embed_quantize",
     "p52_entity_blocking", "p53_length_quantiles", "p54_hard_negatives",
-    "p55_dedup_audit", "p56_product_quantization")
+    "p55_dedup_audit", "p56_product_quantization",
+    "p57_resample_ffill", "p58_funnel")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
