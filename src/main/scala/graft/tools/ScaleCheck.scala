@@ -50,7 +50,8 @@ object ScaleCheck {
     "p49_boilerplate_segments", "p50_source_overlap", "p51_embed_quantize",
     "p52_entity_blocking", "p53_length_quantiles", "p54_hard_negatives",
     "p55_dedup_audit", "p56_product_quantization",
-    "p57_resample_ffill", "p58_funnel")
+    "p57_resample_ffill", "p58_funnel",
+    "p59_snapshot_diff", "p60_rolling_zscore")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
