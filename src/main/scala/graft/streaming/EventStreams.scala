@@ -98,6 +98,62 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming rolling z-score anomaly detection — the incremental form of
+    * batch p60: per user, maintain day totals in keyed state and score each
+    * day against the trailing 7 OBSERVED days (current excluded, matching
+    * the batch ROWS frame). State is one decimal per (user, day) — bounded
+    * in production by an ingest-time watermark that retires days older than
+    * the trailing window (the [[runningUserTotals]] contract).
+    *
+    * Determinism mirrors the batch twin exactly: day totals accumulate as
+    * scale-9 BigDecimals (the batch's DECIMAL(38,9) grid — exact, order-
+    * independent), trailing sums and sums-of-squares stay exact decimals,
+    * and only the final statistics convert to doubles (BigDecimal's
+    * nearest-double conversion == Spark's decimal→double cast), so every
+    * emitted score is bit-identical to p60's (pinned in StreamingSpec).
+    */
+  def rollingZscores(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val typed = events
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      .as[(Long, java.sql.Date, Double)]
+    def round6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, JBD],
+        (Long, java.sql.Date, Double, Long, Option[Double], Boolean)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state: GroupState[Map[Long, JBD]]) =>
+          var days = state.getOption.getOrElse(Map.empty[Long, JBD])
+          rows.foreach { case (_, d, v) =>
+            val k = d.toLocalDate.toEpochDay
+            val g = JBD.valueOf(v).setScale(9, RoundingMode.HALF_UP)
+            days = days.updated(k, days.get(k).map(_.add(g)).getOrElse(g))
+          }
+          state.update(days)
+          val ordered = days.toSeq.sortBy(_._1)
+          ordered.zipWithIndex.iterator.map { case ((epochDay, v), i) =>
+            val trail = ordered.slice(math.max(0, i - 7), i).map(_._2)
+            val n = trail.length.toLong
+            // flag on the UNROUNDED score (the batch twin's coalesce(abs(zs)
+            // > 2) runs before its round(zs, 6)), emit the rounded one
+            val zRaw =
+              if (n >= 3) {
+                val s1 = trail.reduce(_.add(_))
+                val s2 = trail.map(x => x.multiply(x)).reduce(_.add(_))
+                val (vd, s1d, s2d) = (v.doubleValue, s1.doubleValue, s2.doubleValue)
+                Some((vd - s1d / n) / math.sqrt((s2d - s1d * s1d / n) / (n - 1)))
+              } else None
+            (user, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(epochDay)),
+              round6(v.doubleValue), n, zRaw.map(round6),
+              zRaw.exists(zz => math.abs(zz) > 2.0))
+          }
+      }
+      .toDF("user_id", "day", "v_day", "hist_days", "z", "anomaly")
+  }
+
   /** Read the events table as a bounded stream (used by tests; in production
     * the source would be kafka/files arriving continuously). Watermarks
     * require TIMESTAMP (with local tz), not NTZ — with the session pinned to

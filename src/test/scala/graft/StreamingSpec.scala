@@ -228,6 +228,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(_ >= 2L))
   }
 
+  test("streaming rolling z-scores equal the batch p60 output bit-for-bit") {
+    val stream = graft.streaming.EventStreams.readEventStream(spark, eventsDir)
+    val q = graft.streaming.EventStreams.rollingZscores(spark, stream)
+      .writeStream.outputMode("update").format("memory").queryName("zs_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // Update mode re-emits a (user, day) row whenever later batches extend
+    // the trailing window — keep each key's LAST emission (arrival order
+    // within a key is the batch order thanks to the in-order file source).
+    val streamed = spark.table("zs_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+      .toMap
+    val batch = SparkEntry.allDefs.find(_.name == "p60_rolling_zscore").get
+      .run(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+      .toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, b) =>
+      assert(streamed(k) == b, s"$k: streaming ${streamed(k)} != batch $b")
+    }
+    assert(batch.nonEmpty)
+  }
+
   test("streaming KMV sketch equals the batch p38 estimator bit-for-bit") {
     val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
     val q = graft.streaming.DocumentStreams.kmvSketch(stream, 64)
