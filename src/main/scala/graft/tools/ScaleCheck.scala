@@ -51,7 +51,9 @@ object ScaleCheck {
     "p52_entity_blocking", "p53_length_quantiles", "p54_hard_negatives",
     "p55_dedup_audit", "p56_product_quantization",
     "p57_resample_ffill", "p58_funnel",
-    "p59_snapshot_diff", "p60_rolling_zscore")
+    "p59_snapshot_diff", "p60_rolling_zscore",
+    "p61_tfidf_topk", "p62_embed_logreg", "p63_markov_transitions",
+    "p64_curriculum_stages", "p65_langid_eval", "p66_pagerank")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
