@@ -35,8 +35,11 @@ object PipelineQueries13 {
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
-  /** p61: query-side sample (1-in-50 docs) and neighbors kept per query. */
+  /** p61: FIXED query set (every 50th doc under id 500 — constant size at
+    * every corpus scale, the production shape of a pinned query workload)
+    * and neighbors kept per query. */
   private val QMod = 50
+  private val QCap = 500
   private val TopK = 5
 
   /** p62: gradient-descent iterations and learning rate (fixed —
@@ -80,7 +83,8 @@ object PipelineQueries13 {
         SELECT doc_id,
                sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
         FROM w GROUP BY doc_id),
-      qw AS (SELECT doc_id AS qid, tk, w AS wq FROM w WHERE doc_id % $QMod = 0),
+      qw AS (SELECT doc_id AS qid, tk, w AS wq
+             FROM w WHERE doc_id % $QMod = 0 AND doc_id < $QCap),
       dt AS (
         SELECT qw.qid, w.doc_id AS cid,
                CAST(sum(CAST(round(qw.wq * w.w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS dot
@@ -107,7 +111,7 @@ object PipelineQueries13 {
       val nrm = w.groupBy(col("doc_id"))
         .agg(sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(38,9)"))
           .cast("double")).as("nrm"))
-      val qw = w.filter(col("doc_id") % QMod === 0)
+      val qw = w.filter(col("doc_id") % QMod === 0 && col("doc_id") < QCap)
         .select(col("doc_id").as("qid"), col("tk").as("qtk"), col("w").as("wq"))
       val dt = w.join(broadcast(qw),
           col("tk") === col("qtk") && col("doc_id") =!= col("qid"))

@@ -283,6 +283,32 @@ object RelationalQueries3 {
           col("carried.eid").as("asof_event_id"),
           round(col("carried.v"), 6).as("asof_value"))
         .orderBy(col("event_id"))
+    },
+
+    // Explicit GROUPING SETS — the general form behind q49's ROLLUP and
+    // q50's CUBE (each per-set aggregate is the same partial-agg shuffle;
+    // Catalyst expands the sets into one Expand + aggregate, a single
+    // pass). The DataFrame API only exposes rollup/cube, so this runs
+    // through the SQL surface on a query-scoped temp view.
+    QueryDef("q92_grouping_sets", Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+             CAST(grouping(o_orderpriority) AS INTEGER) AS g_pr,
+             count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""")) { (s, dir) =>
+      Tables.df(s, dir, "orders").createOrReplaceTempView("q92_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_pr,
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
+        FROM q92_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""")
     }
   )
 }

@@ -53,7 +53,9 @@ object ScaleCheck {
     "p57_resample_ffill", "p58_funnel",
     "p59_snapshot_diff", "p60_rolling_zscore",
     "p61_tfidf_topk", "p62_embed_logreg", "p63_markov_transitions",
-    "p64_curriculum_stages", "p65_langid_eval", "p66_pagerank")
+    "p64_curriculum_stages", "p65_langid_eval", "p66_pagerank",
+    "p67_vocab_coverage", "p68_cluster_reps", "p69_winsorize",
+    "p70_retention_cohorts", "p71_token_entropy")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
