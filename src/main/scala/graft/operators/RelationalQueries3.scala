@@ -309,6 +309,26 @@ object RelationalQueries3 {
         FROM q92_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""")
+    },
+
+    // Correlated LATERAL subquery — per-outer-row top-N through the SQL
+    // surface (Catalyst plans the correlated limit as a rewritten join +
+    // per-key ranking; no per-row re-execution). The DuckDB oracle uses
+    // its native LATERAL, an independent implementation of the semantics.
+    QueryDef("q93_lateral_topn", Some("""
+      SELECT r.r_name, t.n_name FROM region r,
+        LATERAL (SELECT n_name FROM nation
+                 WHERE n_regionkey = r.r_regionkey
+                 ORDER BY n_name LIMIT 2) t
+      ORDER BY r.r_name, t.n_name""")) { (s, dir) =>
+      Tables.df(s, dir, "region").createOrReplaceTempView("q93_region")
+      Tables.df(s, dir, "nation").createOrReplaceTempView("q93_nation")
+      s.sql("""
+        SELECT r.r_name, t.n_name FROM q93_region r
+        JOIN LATERAL (SELECT n_name FROM q93_nation
+                      WHERE n_regionkey = r.r_regionkey
+                      ORDER BY n_name LIMIT 2) t
+        ORDER BY r.r_name, t.n_name""")
     }
   )
 }
