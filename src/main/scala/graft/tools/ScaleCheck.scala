@@ -56,7 +56,9 @@ object ScaleCheck {
     "p64_curriculum_stages", "p65_langid_eval", "p66_pagerank",
     "p67_vocab_coverage", "p68_cluster_reps", "p69_winsorize",
     "p70_retention_cohorts", "p71_token_entropy",
-    "p72_embed_norms", "p73_dupgraph_triangles", "p74_minhash_calibration")
+    "p72_embed_norms", "p73_dupgraph_triangles", "p74_minhash_calibration",
+    "p75_ann_recall", "p76_blocklist_screen", "p77_band_tuning",
+    "p78_rfm_segments")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
