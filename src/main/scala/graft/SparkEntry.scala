@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{ClickBenchGate, PipelineQueries, PipelineQueries2, PipelineQueries3, PipelineQueries4, PipelineQueries5, PipelineQueries6, PipelineQueries7, PipelineQueries8, PipelineQueries9, PipelineQueries10, PipelineQueries11, PipelineQueries12, PipelineQueries13, PipelineQueries14, PipelineQueries15, PipelineQueries16, PipelineQueries17, RelationalQueries, RelationalQueries2, RelationalQueries3, TpchQueries}
+import graft.operators.{ClickBenchGate, PipelineQueries, PipelineQueries2, PipelineQueries3, PipelineQueries4, PipelineQueries5, PipelineQueries6, PipelineQueries7, PipelineQueries8, PipelineQueries9, PipelineQueries10, PipelineQueries11, PipelineQueries12, PipelineQueries13, PipelineQueries14, PipelineQueries15, PipelineQueries16, PipelineQueries17, RelationalQueries, RelationalQueries2, RelationalQueries3, RelationalQueries4, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ RelationalQueries2.defs ++ RelationalQueries3.defs ++
+      RelationalQueries4.defs ++
       TpchQueries.defs ++ PipelineQueries.defs ++ PipelineQueries2.defs ++
       PipelineQueries3.defs ++ PipelineQueries4.defs ++ PipelineQueries5.defs ++
       PipelineQueries6.defs ++ PipelineQueries7.defs ++ PipelineQueries8.defs ++

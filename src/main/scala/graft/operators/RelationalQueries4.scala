@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Relational coverage batch 4 — reshaping, temporal window frames, and
+  * iterative queries:
+  *
+  *  - q94 UNPIVOT: wide→long reshaping (the inverse of q36's PIVOT),
+  *    Spark's native `Dataset.unpivot` vs DuckDB's standard UNPIVOT clause.
+  *  - q95 time-range window frame: a per-user rolling 1-hour event window
+  *    via RANGE BETWEEN on the event-time axis — the frame kind the
+  *    reference's windowing cannot express and ClickHouse-style funnels
+  *    lean on.
+  *  - q96 recursive CTE: WITH RECURSIVE (Spark 4's iterative CTE) walking
+  *    a functional graph over the nation table — the relational spelling
+  *    of the iterate-to-fixpoint pattern ConnectedComponents implements
+  *    imperatively.
+  */
+object RelationalQueries4 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----------------------------- UNPIVOT (q94)
+
+    // Wide→long is a zero-shuffle map operation in both engines; the
+    // measures are cast to a common DOUBLE before unpivoting (UNPIVOT
+    // requires one value type, and the two source columns differ).
+    QueryDef("q94_unpivot", Some("""
+      SELECT p_partkey, measure, val
+      FROM (SELECT p_partkey,
+                   CAST(p_size AS DOUBLE) AS size,
+                   CAST(p_retailprice AS DOUBLE) AS retailprice
+            FROM part) w
+      UNPIVOT (val FOR measure IN (size, retailprice))
+      ORDER BY p_partkey, measure""")) { (s, dir) =>
+      Tables.df(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "measure", "val")
+        .orderBy(col("p_partkey"), col("measure"))
+    },
+
+    // ------------------- time-range window frame (q95)
+
+    // RANGE BETWEEN INTERVAL 1 HOUR PRECEDING on the event-time axis. On
+    // the Spark side the frame is expressed over epoch MICROSECONDS
+    // (unix_micros under the UTC session), which is exactly DuckDB's
+    // interval arithmetic at the file's µs precision — same inclusive
+    // lower bound, same peer-row semantics on ts ties. Scale shape: one
+    // hash partition by user_id, per-partition sort, bounded frame state;
+    // per-event values are rounded to DECIMAL before the frame sum so the
+    // rolling total is order-independent.
+    QueryDef("q95_window_time_range", Some("""
+      SELECT event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Tables.df(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(round(col("value"), 2).cast("decimal(38,2)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+
+    // ------------------------ recursive CTE (q96)
+
+    // An iterative walk of the functional graph succ(n) = (2n+1) mod 25
+    // over nation, starting at key 0, depth-capped at 30: each iteration's
+    // frontier joins back to the base table, so the recursion exercises
+    // real scans, not just constant folding. The post-aggregation reports
+    // when each nation is first reached and how often the 30-step walk
+    // visits it (the walk enters a cycle, so revisit counts are the
+    // interesting part). Spark 4 executes WITH RECURSIVE as an iterative
+    // union of bounded frontiers — each step is one small join, state is
+    // the frontier, never the accumulated path set.
+    QueryDef("q96_recursive_cte", Some("""
+      WITH RECURSIVE walk(nk, depth) AS (
+        SELECT CAST(0 AS BIGINT) AS nk, 0 AS depth
+        UNION ALL
+        SELECT CAST(n.n_nationkey AS BIGINT), w.depth + 1
+        FROM walk w JOIN nation n ON n.n_nationkey = (2 * w.nk + 1) % 25
+        WHERE w.depth < 30)
+      SELECT nk AS n_nationkey,
+             CAST(min(depth) AS INTEGER) AS first_depth,
+             CAST(count(*) AS BIGINT) AS n_visits
+      FROM walk GROUP BY nk ORDER BY n_nationkey""")) { (s, dir) =>
+      Tables.df(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql("""
+        WITH RECURSIVE walk(nk, depth) AS (
+          SELECT CAST(0 AS BIGINT) AS nk, 0 AS depth
+          UNION ALL
+          SELECT CAST(n.n_nationkey AS BIGINT), w.depth + 1
+          FROM walk w JOIN nation n ON n.n_nationkey = (2 * w.nk + 1) % 25
+          WHERE w.depth < 30)
+        SELECT nk AS n_nationkey,
+               CAST(min(depth) AS INT) AS first_depth,
+               CAST(count(*) AS BIGINT) AS n_visits
+        FROM walk GROUP BY nk ORDER BY n_nationkey""")
+    }
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Properties of the relational batch-4 operators beyond the driver gate:
+  * reshape arithmetic for UNPIVOT, frame-membership laws for the time-range
+  * window, and walk accounting for the recursive CTE.
+  */
+class RelationalBatch4Spec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  private def byName(n: String) = SparkEntry.allDefs.find(_.name == n).get
+
+  test("q94: unpivot emits one row per (part, measure) and no shuffle") {
+    val df = byName("q94_unpivot").run(spark, SharedSpark.sf)
+    val nParts = Tables.df(spark, SharedSpark.sf, "part").count()
+    assert(df.count() == 2 * nParts)
+    val perMeasure = df.groupBy(col("measure")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perMeasure == Map("size" -> nParts, "retailprice" -> nParts))
+    // wide→long is map-only: the sort for ORDER BY is the only exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      "unpivot should not hash-shuffle — Expand is map-side")
+  }
+
+  test("q95: every event is inside its own frame; frame sums bound the partition sum") {
+    val rows = byName("q95_window_time_range").run(spark, SharedSpark.sf)
+    assert(rows.filter(col("n_1h") < 1).isEmpty,
+      "an event missing from its own 1h frame")
+    // the rolling 1h count can never exceed the user's total event count
+    val ev = Tables.df(spark, SharedSpark.sf, "events")
+    val joined = rows
+      .join(ev.select(col("event_id"), col("user_id")), "event_id")
+      .join(ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_user")), "user_id")
+    assert(joined.filter(col("n_1h") > col("n_user")).isEmpty)
+    // and at least one user has >1 event inside an hour on this corpus
+    assert(rows.filter(col("n_1h") > 1).count() > 0,
+      "no rolling window ever saw 2 events — frame suspect")
+  }
+
+  test("q96: the 30-step walk accounts for all 31 visits and starts at node 0") {
+    val rows = byName("q96_recursive_cte").run(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 31, "depth-capped walk must emit exactly 31 visits")
+    val byNode = rows.map(r => r._1 -> r._2).toMap
+    assert(byNode(0L) == 0, "walk must start at nation 0 with depth 0")
+    // first_depth values are distinct for the pre-cycle prefix: the walk is
+    // a function iteration, so two nodes cannot be first-reached at the
+    // same depth
+    val depths = rows.map(_._2)
+    assert(depths.distinct.length == depths.length,
+      "functional-graph walk first-reached two nodes at one depth")
+    // replay the walk in Scala and compare the reached set exactly
+    val expected = Iterator.iterate(0L)(n => (2 * n + 1) % 25).take(31).toSeq
+    assert(rows.map(_._1).toSet == expected.toSet, "reached set diverges from succ replay")
+  }
+}
