@@ -58,7 +58,10 @@ object ScaleCheck {
     "p70_retention_cohorts", "p71_token_entropy",
     "p72_embed_norms", "p73_dupgraph_triangles", "p74_minhash_calibration",
     "p75_ann_recall", "p76_blocklist_screen", "p77_band_tuning",
-    "p78_rfm_segments")
+    "p78_rfm_segments",
+    "p79_lang_temperature", "p80_dedup_threshold_sweep",
+    "p81_decay_engagement", "p82_distinct_ngrams", "p83_vocab_growth",
+    "p84_incremental_minhash", "p85_quality_ensemble", "p86_embed_dim_stats")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
