@@ -89,15 +89,9 @@ object PipelineQueries18 {
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           toks(col("text")), 3))).as("shingle"))
-      val sig = docs.select(col("doc_id"),
-        graft.functions.NativeExpressions.minhashSignature(
-          array_distinct(graft.Functions.wordShingles(toks(col("text")), 3)),
-          8).as("sig"))
-      val bands = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(3)), b => struct(
-          b.as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2)))).as("bucket")))).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // banding kernel shared with the streaming twin
+      // (graft.streaming.DocumentStreams.minhashCandidates)
+      val bands = graft.streaming.DocumentStreams.bandTable(docs)
       val newBands = bands.filter(col("doc_id") % 10 >= SplitMod)
         .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
       val oldBands = bands.filter(col("doc_id") % 10 < SplitMod)

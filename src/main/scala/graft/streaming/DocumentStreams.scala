@@ -147,6 +147,41 @@ object DocumentStreams {
       .toDF("source", "n_retained", "est")
   }
 
+  /** The (doc_id, band, bucket) MinHash band table over 3-word shingles —
+    * p84's banding spelling factored out so the batch snapshot side and the
+    * streaming probe side are provably the same kernel. Row-local: the
+    * signature is a per-row codegen expression, the band fan-out a 4-element
+    * explode. */
+  def bandTable(docs: DataFrame): DataFrame = {
+    val shingles = array_distinct(graft.Functions.wordShingles(
+      split(lower(col("text")), "\\s+"), 3))
+    docs.select(col("doc_id"),
+      graft.functions.NativeExpressions.minhashSignature(shingles, 8).as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.as("band"),
+          md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2)))).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Streaming incremental near-dup screen — the streaming form of p84's
+    * candidate stage: arriving docs are shingled and minhash-banded
+    * row-locally, then stream-static joined against the PERSISTED corpus
+    * snapshot's band table on (band, bucket) — exactly how production
+    * ingest dedup runs (the snapshot side changes per compaction, not per
+    * micro-batch). A keyed count per (new doc, snapshot doc) collapses
+    * multi-band hits, so each candidate pair surfaces once with its
+    * band-hit count; exact verification stays a downstream batch join, as
+    * in p84. */
+  def minhashCandidates(docsStream: DataFrame, snapshotBands: DataFrame): DataFrame =
+    bandTable(docsStream)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(snapshotBands
+        .select(col("doc_id").as("old_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("n_band_hits"))
+
   /** Streaming benchmark-contamination — the p20 semantics with the corpus
     * ARRIVING as a stream and the benchmark gram set STATIC (eval suites
     * change rarely): a stream-static equi-join on the gram (the static side

@@ -169,6 +169,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming incremental minhash screen matches the batch p84 candidate stage") {
+    val docs = Tables.df(spark, SharedSpark.sf, "documents")
+    // snapshot = the persisted 80% corpus; stream = the arriving 20% shard
+    val snapshot = graft.streaming.DocumentStreams.bandTable(
+      docs.filter(col("doc_id") % 10 < 8))
+    val stream = graft.streaming.DocumentStreams.readDocumentStream(spark, docsDir)
+      .filter(col("doc_id") % 10 >= 8)
+    runToMemory(graft.streaming.DocumentStreams.minhashCandidates(stream, snapshot),
+      "mh_cand")
+    val streamed = spark.table("mh_cand")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // independent batch computation of the same cross-split candidate set
+    val newBands = graft.streaming.DocumentStreams.bandTable(
+      docs.filter(col("doc_id") % 10 >= 8))
+    val batch = newBands.withColumnRenamed("doc_id", "new_id")
+      .join(snapshot.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "no cross-split candidates — screen suspect")
+    // every candidate the p84 gate verified as a dup must have been screened
+    val dupIds = SparkEntry.queries("p84_incremental_minhash")(spark, SharedSpark.sf)
+      .filter(col("is_dup")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(dupIds.subsetOf(streamed.map(_._1)),
+      "a gate-verified duplicate never surfaced as a streaming candidate")
+  }
+
   test("streaming contamination (stream-static gram join) matches batch p20 pairs") {
     val docs = Tables.df(spark, SharedSpark.sf, "documents")
     val bench = graft.streaming.DocumentStreams.benchGrams(
