@@ -61,6 +61,12 @@ object GraftSession {
   def prepare(spark: SparkSession): SparkSession = {
     Functions.registerAll(spark)
     graft.sources.VirtualDatasets.register(spark)
+    // Custom optimizer rule (predicate range-merge + contradiction→empty;
+    // see plans/PredicateCompaction.scala). Cluster deployments can instead
+    // set spark.sql.extensions=graft.plans.GraftExtensions.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PredicateCompaction))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PredicateCompaction
     spark
   }
 }

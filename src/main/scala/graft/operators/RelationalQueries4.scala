@@ -108,6 +108,30 @@ object RelationalQueries4 {
                CAST(min(depth) AS INT) AS first_depth,
                CAST(count(*) AS BIGINT) AS n_visits
         FROM walk GROUP BY nk ORDER BY n_nationkey""")
+    },
+
+    // ------------------ predicate range compaction (q97)
+
+    // Exercises plans/PredicateCompaction.scala end-to-end (the reference's
+    // predicate_compaction.py strategy as a custom Rule[LogicalPlan]): the
+    // first branch carries four overlapping bounds that compact to the
+    // (30, 47] range before parquet pushdown; the second branch is a range
+    // CONTRADICTION (> 40 AND < 10) that plans as an empty LocalRelation —
+    // zero scan tasks, the NullReaderNode path. PredicateCompactionSpec
+    // asserts both plan shapes; this gate entry pins the semantics.
+    QueryDef("q97_range_compaction", Some("""
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_quantity > 30 AND l_quantity > 25
+                AND l_quantity <= 47 AND l_quantity < 49) AS n_band,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_quantity > 40 AND l_quantity < 10) AS n_contra""")) { (s, dir) =>
+      val li = Tables.df(s, dir, "lineitem")
+      val band = li.filter(col("l_quantity") > 30 && col("l_quantity") > 25
+        && col("l_quantity") <= 47 && col("l_quantity") < 49)
+        .agg(count(lit(1)).as("n_band"))
+      val contra = li.filter(col("l_quantity") > 40 && col("l_quantity") < 10)
+        .agg(count(lit(1)).as("n_contra"))
+      band.crossJoin(contra)
     }
   )
 }
