@@ -38,7 +38,7 @@ object PipelineQueries3 {
 
   /** The p02 LSH candidate pairs (3-shingles → 8 minhashes → 4 bands of 2),
     * reused as the edge source for component resolution. */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.dfSpread(s, dir, "documents")
       .withColumn("sh", shingles(toks(col("text")), 3))
     val withSig = docs.withColumn("sig",

@@ -63,7 +63,9 @@ object ScaleCheck {
     "p81_decay_engagement", "p82_distinct_ngrams", "p83_vocab_growth",
     "p84_incremental_minhash", "p85_quality_ensemble", "p86_embed_dim_stats",
     "p87_source_concentration", "p88_event_gap_quantiles",
-    "p89_k_anonymity", "p90_join_key_skew", "p91_dup_size_spectrum")
+    "p89_k_anonymity", "p90_join_key_skew", "p91_dup_size_spectrum",
+    "p92_dup_distance_profile", "p93_event_seasonality",
+    "p94_cross_source_dup_matrix")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
