@@ -132,6 +132,39 @@ object RelationalQueries4 {
       val contra = li.filter(col("l_quantity") > 40 && col("l_quantity") < 10)
         .agg(count(lit(1)).as("n_contra"))
       band.crossJoin(contra)
+    },
+
+    // -------------------- multi-aggregate PIVOT (q98)
+
+    // The NATIVE pivot operator (RelationalGroupedDataset.pivot with an
+    // explicit value list — q36 covers the conditional-aggregation
+    // spelling) carrying TWO aggregates per pivot value; Spark plans this
+    // as one pass with 2×|values| partial aggregates, identical shape to
+    // the hand-written form. Explicit values keep the plan static — the
+    // values-discovery variant runs a driver-side distinct first, which is
+    // an extra scan a 100-TB pipeline should not pay silently.
+    QueryDef("q98_pivot_multi_agg", Some("""
+      SELECT c_nationkey,
+             CAST(count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT) AS building_n,
+             CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                           THEN CAST(round(c_acctbal, 2) AS DECIMAL(38,2)) END) AS DOUBLE) AS building_bal,
+             CAST(count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS machinery_n,
+             CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                           THEN CAST(round(c_acctbal, 2) AS DECIMAL(38,2)) END) AS DOUBLE) AS machinery_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", Seq("BUILDING", "MACHINERY"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal"), 2).cast("decimal(38,2)")).cast("double").as("bal"))
+        .select(col("c_nationkey"),
+          // an empty pivot cell is NULL under PivotFirst, while the
+          // conditional-agg oracle counts it as 0 — align the count cells
+          coalesce(col("BUILDING_n"), lit(0L)).as("building_n"),
+          col("BUILDING_bal").as("building_bal"),
+          coalesce(col("MACHINERY_n"), lit(0L)).as("machinery_n"),
+          col("MACHINERY_bal").as("machinery_bal"))
+        .orderBy(col("c_nationkey"))
     }
   )
 }

@@ -98,6 +98,41 @@ object EventStreams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming inter-event gap extraction — the incremental form of p88's
+    * lag stage: per-user keyed state carries only the LAST (timestamp,
+    * event_id); each arriving event emits its gap to that carried
+    * predecessor. Rows are ordered by (ts, event_id) WITHIN each
+    * micro-batch (matching the batch lag window's ordering); across
+    * batches the file source delivers time-partitioned drops in order —
+    * an out-of-order producer would need a watermarked buffer in front,
+    * which is an ingest contract, not a plan change. State is O(1) per
+    * user — the gap distribution itself stays a downstream aggregation
+    * exactly as in batch. */
+  def eventGaps(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Long, Long)],
+              state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var last = state.getOption // (us, event_id)
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          sorted.foreach { case (_, eid, us) =>
+            last.foreach { case (pus, _) => out += ((user, eid, us - pus)) }
+            last = Some((us, eid))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "gap_us")
+  }
+
   /** Streaming rolling z-score anomaly detection — the incremental form of
     * batch p60: per user, maintain day totals in keyed state and score each
     * day against the trailing 7 OBSERVED days (current excluded, matching

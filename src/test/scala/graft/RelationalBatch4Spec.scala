@@ -40,6 +40,18 @@ class RelationalBatch4Spec extends AnyFunSuite {
       "no rolling window ever saw 2 events — frame suspect")
   }
 
+  test("q98: native multi-agg pivot is one aggregation pass with no join") {
+    val df = byName("q98_pivot_multi_agg").run(spark, SharedSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "pivot must not plan a join")
+    val rows = df.collect()
+    assert(rows.length ==
+      Tables.df(spark, SharedSpark.sf, "customer")
+        .select(countDistinct(col("c_nationkey"))).head().getLong(0))
+    // count cells are never NULL (coalesced); sums may be
+    rows.foreach(r => assert(!r.isNullAt(1) && !r.isNullAt(3)))
+  }
+
   test("q96: the 30-step walk accounts for all 31 visits and starts at node 0") {
     val rows = byName("q96_recursive_cte").run(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

@@ -257,6 +257,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(_ >= 2L))
   }
 
+  test("streaming event gaps equal the batch lag-window gap set") {
+    val stream = graft.streaming.EventStreams.readEventStream(spark, eventsDir)
+    val q = graft.streaming.EventStreams.eventGaps(spark, stream)
+      .writeStream.outputMode("update").format("memory").queryName("gap_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("gap_out")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+
+    val lagW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val batch = Tables.df(spark, SharedSpark.sf, "events")
+      .select(col("event_id"), (us - lag(us, 1).over(lagW)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch, "streaming gap set diverges from the batch lag window")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming rolling z-scores equal the batch p60 output bit-for-bit") {
     val stream = graft.streaming.EventStreams.readEventStream(spark, eventsDir)
     val q = graft.streaming.EventStreams.rollingZscores(spark, stream)
