@@ -35,6 +35,25 @@ object PipelineQueries18 {
   private val WLen = 0.2
   private val Stopwords = Seq("a", "the")
 
+  /** The p85 ensemble score over a token-array column — factored out so
+    * p96's dedup-quality interaction provably scores with the same kernel.
+    * [[ensembleScoreSql]] is the DuckDB spelling over a list column `$w`. */
+  private[operators] def ensembleScore(w: Column): Column = {
+    val stopArr = array(Stopwords.map(lit(_)): _*)
+    round(
+      lit(WDistinct) * (size(array_distinct(w)).cast("double") / size(w))
+        + lit(WStop) * (lit(1.0) -
+          size(filter(w, x => array_contains(stopArr, x))).cast("double") / size(w))
+        + lit(WLen) * least(size(w).cast("double") / 100.0, lit(1.0)),
+      2)
+  }
+
+  private[operators] def ensembleScoreSql(w: String): String =
+    s"""round($WDistinct * (CAST(len(list_distinct($w)) AS DOUBLE) / len($w))
+       + $WStop * (1.0 - CAST(len(list_filter($w,
+           x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE) / len($w))
+       + $WLen * least(CAST(len($w) AS DOUBLE) / 100.0, 1.0), 2)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------ incremental MinHash dedup (p84)
@@ -127,11 +146,7 @@ object PipelineQueries18 {
     // rollup.
     QueryDef("p85_quality_ensemble", Some(s"""
       WITH sig AS (
-        SELECT doc_id, lang,
-               round($WDistinct * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
-                 + $WStop * (1.0 - CAST(len(list_filter(w,
-                     x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE) / len(w))
-                 + $WLen * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0), 2) AS score
+        SELECT doc_id, lang, ${ensembleScoreSql("w")} AS score
         FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w
               FROM documents) t),
       q AS (
@@ -147,15 +162,8 @@ object PipelineQueries18 {
              CAST(sum(CAST(score AS DECIMAL(38,2))) AS DOUBLE) AS sum_score
       FROM dd GROUP BY lang, decile ORDER BY lang, decile""")) { (s, dir) =>
       val w = toks(col("text"))
-      val stopArr = array(Stopwords.map(lit(_)): _*)
       val sig = Tables.dfSpread(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          round(
-            lit(WDistinct) * (size(array_distinct(w)).cast("double") / size(w))
-              + lit(WStop) * (lit(1.0) -
-                size(filter(w, x => array_contains(stopArr, x))).cast("double") / size(w))
-              + lit(WLen) * least(size(w).cast("double") / 100.0, lit(1.0)),
-            2).as("score"))
+        .select(col("doc_id"), col("lang"), ensembleScore(w).as("score"))
       val qs = (1 to 9).map(i => i / 10.0 -> s"q$i")
       val bounds = ExactPercentile.percentiles(
         sig.withColumn("g", lit(1)), "g", col("score"), qs).drop("g")

@@ -59,7 +59,7 @@ object PipelineQueries7 {
     * mantissa) — both engines produce bit-identical fractions, which is
     * what lets the sketch estimate hash-match against the oracle.
     */
-  private def hexFracSql(col: String): String =
+  private[operators] def hexFracSql(col: String): String =
     (1 to 13).foldRight("0.0") { (i, acc) =>
       s"((CAST(instr('0123456789abcdef', substr($col, $i, 1)) AS DOUBLE) - 1.0 + $acc) / 16.0)"
     }
