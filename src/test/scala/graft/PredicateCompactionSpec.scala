@@ -68,6 +68,32 @@ class PredicateCompactionSpec extends AnyFunSuite {
         .count())
   }
 
+  test("differential fuzz: 200 random range-conjunct sets match Scala-side evaluation") {
+    val nation = Tables.df(spark, SharedSpark.sf, "nation")
+    val allKeys = nation.select(col("n_nationkey"))
+      .collect().map(_.getAs[Number](0).longValue).sorted
+    val rnd = new scala.util.Random(20260814)
+    val ops = Seq(">", ">=", "<", "<=", "=")
+    for (trial <- 1 to 200) {
+      val conjuncts = (1 to (2 + rnd.nextInt(4))).map { _ =>
+        (ops(rnd.nextInt(ops.size)), rnd.nextInt(30).toLong - 2)
+      }
+      val cond = conjuncts.map { case (op, v) => s"n_nationkey $op $v" }
+        .mkString(" AND ")
+      val expected = allKeys.count { k =>
+        conjuncts.forall {
+          case (">", v) => k > v
+          case (">=", v) => k >= v
+          case ("<", v) => k < v
+          case ("<=", v) => k <= v
+          case ("=", v) => k == v
+        }
+      }
+      val got = nation.where(cond).count()
+      assert(got == expected, s"trial $trial: WHERE $cond → $got, expected $expected")
+    }
+  }
+
   test("null-bearing column: compaction preserves Kleene drop semantics") {
     import spark.implicits._
     val d = Seq[java.lang.Double](1.0, 6.0, null, 50.0).toDF("x")
