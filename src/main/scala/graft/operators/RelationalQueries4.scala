@@ -165,6 +165,39 @@ object RelationalQueries4 {
           coalesce(col("MACHINERY_n"), lit(0L)).as("machinery_n"),
           col("MACHINERY_bal").as("machinery_bal"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // ------------------- batch session windows (q99)
+
+    // Spark's NATIVE session_window in a batch aggregation (the streaming
+    // twins already use it; p14 covers the manual lag-and-island
+    // spelling). The oracle is the island computation with a `>=` gap
+    // rule, because session_window's end bound is EXCLUSIVE: an event
+    // landing exactly at last_ts + gap starts a new session. One
+    // user-keyed shuffle; Spark merges sessions with per-group sorted
+    // state, never buffering beyond a user's rows.
+    QueryDef("q99_session_window", Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")) { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
 }

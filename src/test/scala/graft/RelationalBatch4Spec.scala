@@ -52,6 +52,22 @@ class RelationalBatch4Spec extends AnyFunSuite {
     rows.foreach(r => assert(!r.isNullAt(1) && !r.isNullAt(3)))
   }
 
+  test("q99: native session windows account for every event, consistent with p14") {
+    val rows = byName("q99_session_window").run(spark, SharedSpark.sf)
+    val ev = Tables.df(spark, SharedSpark.sf, "events")
+    assert(rows.agg(sum(col("n_events"))).head().getLong(0) == ev.count(),
+      "sessions do not partition the event stream")
+    // per-user session counts from the native operator vs the manual p14
+    // islands (p14 uses a strict > gap; the native end bound is exclusive,
+    // i.e. >= — counts can only differ where an exact 30:00.000000 gap
+    // exists, which the µs-grained generator never produces)
+    val native = rows.groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manual = byName("p14_events_sessions").run(spark, SharedSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == manual, "native session_window diverges from the island spelling")
+  }
+
   test("q96: the 30-step walk accounts for all 31 visits and starts at node 0") {
     val rows = byName("q96_recursive_cte").run(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
