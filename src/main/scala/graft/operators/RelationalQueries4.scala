@@ -198,6 +198,38 @@ object RelationalQueries4 {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ------------------- rank-family windows (q100)
+
+    // rank/dense_rank/percent_rank/cume_dist over a TIE-HEAVY ordering
+    // (market segment — ~5 distinct values per nation partition), where
+    // the four functions' tie semantics actually differ from row_number
+    // and from each other; ntile rides a fully-ordered window because its
+    // assignment is positional (nondeterministic under ties). One hash
+    // partition by nation, per-partition sort — standard window shape.
+    QueryDef("q100_rank_family", Some("""
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(rank() OVER wt AS BIGINT) AS rk,
+             CAST(dense_rank() OVER wt AS BIGINT) AS drk,
+             round(percent_rank() OVER wt, 6) AS prk,
+             round(cume_dist() OVER wt, 6) AS cd,
+             CAST(ntile(4) OVER wo AS INTEGER) AS quartile
+      FROM customer
+      WINDOW wt AS (PARTITION BY c_nationkey ORDER BY c_mktsegment),
+             wo AS (PARTITION BY c_nationkey ORDER BY c_mktsegment, c_custkey)
+      ORDER BY c_custkey""")) { (s, dir) =>
+      val wt = Window.partitionBy(col("c_nationkey")).orderBy(col("c_mktsegment"))
+      val wo = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+      Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          rank().over(wt).cast("bigint").as("rk"),
+          dense_rank().over(wt).cast("bigint").as("drk"),
+          round(percent_rank().over(wt), 6).as("prk"),
+          round(cume_dist().over(wt), 6).as("cd"),
+          ntile(4).over(wo).cast("int").as("quartile"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

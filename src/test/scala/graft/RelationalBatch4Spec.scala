@@ -68,6 +68,26 @@ class RelationalBatch4Spec extends AnyFunSuite {
     assert(native == manual, "native session_window diverges from the island spelling")
   }
 
+  test("q100: rank-family laws hold under ties") {
+    val rows = byName("q100_rank_family").run(spark, SharedSpark.sf)
+      .collect().map(r => (r.getAs[Number](1).longValue, r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getInt(7)))
+    rows.foreach { case (nation, rk, drk, prk, cd, nt) =>
+      assert(drk <= rk, s"nation $nation: dense_rank above rank")
+      assert(prk >= 0 && prk <= 1 && cd > 0 && cd <= 1)
+      assert(nt >= 1 && nt <= 4)
+    }
+    // within a partition: dense ranks form a contiguous 1..k range, and
+    // ntile buckets differ in size by at most 1
+    rows.groupBy(_._1).foreach { case (nation, g) =>
+      val dr = g.map(_._3).distinct.sorted
+      assert(dr.toSeq == (1L to dr.max).toSeq,
+        s"nation $nation: dense ranks not contiguous")
+      val sizes = g.groupBy(_._6).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"nation $nation: ntile imbalance > 1")
+    }
+  }
+
   test("q96: the 30-step walk accounts for all 31 visits and starts at node 0") {
     val rows = byName("q96_recursive_cte").run(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
