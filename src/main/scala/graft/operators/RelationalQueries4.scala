@@ -230,6 +230,40 @@ object RelationalQueries4 {
           round(cume_dist().over(wt), 6).as("cd"),
           ntile(4).over(wo).cast("int").as("quartile"))
         .orderBy(col("c_custkey"))
+    },
+
+    // --------------- IGNORE NULLS / defaulted offsets (q101)
+
+    // Last-observation-carried-forward over a null-bearing measure via
+    // `last_value(... IGNORE NULLS)` with a running ROWS frame (the
+    // gap-fill spelling p57's resample avoids by construction — here the
+    // operator itself is under test), plus a defaulted 2-back lag. Rows
+    // before any observation stay NULL in both engines; the total
+    // (ts, event_id) order makes every fill deterministic.
+    QueryDef("q101_ignore_nulls_window", Some("""
+      WITH v AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE round(value, 2) END AS v
+        FROM events)
+      SELECT event_id,
+             round(last_value(v IGNORE NULLS) OVER w, 2) AS locf,
+             round(lag(v, 2, -1.0) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id), 2) AS lag2
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")) { (s, dir) =>
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.df(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "error", lit(null))
+            .otherwise(round(col("value"), 2)).as("v"))
+        .select(col("event_id"),
+          round(last(col("v"), ignoreNulls = true).over(w), 2).as("locf"),
+          round(lag(col("v"), 2, -1.0).over(ord), 2).as("lag2"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -88,6 +88,20 @@ class RelationalBatch4Spec extends AnyFunSuite {
     }
   }
 
+  test("q101: LOCF fills only from observed values and lag default fires") {
+    val df = byName("q101_ignore_nulls_window").run(spark, SharedSpark.sf)
+    val ev = Tables.df(spark, SharedSpark.sf, "events")
+    assert(df.count() == ev.count(), "one output row per event expected")
+    // the observed value domain is non-negative here, so a filled value can
+    // never be negative; the lag default (-1.0) must appear somewhere
+    assert(df.filter(col("locf") < 0).isEmpty, "LOCF invented a negative value")
+    assert(df.filter(col("lag2") === -1.0).count() > 0, "lag default never fired")
+    // nulls survive only before a user's first observation
+    val nullLocf = df.filter(col("locf").isNull).count()
+    val errorEvents = ev.filter(col("event_type") === "error").count()
+    assert(nullLocf <= errorEvents, "more unfilled rows than null observations")
+  }
+
   test("q96: the 30-step walk accounts for all 31 visits and starts at node 0") {
     val rows = byName("q96_recursive_cte").run(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
