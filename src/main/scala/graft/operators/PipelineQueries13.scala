@@ -200,9 +200,16 @@ object PipelineQueries13 {
       val (n, npos) = (nnRow.getLong(0), nnRow.getLong(1))
       val cw = when(col("y") === 1.0, lit(0.5 * n / npos))
         .otherwise(lit(0.5 * n / (n - npos)))
+      // Materialize the exploded feature frame ONCE: every gradient
+      // iteration makes two passes over it (z-pass + gradient-pass) plus a
+      // final scoring pass — 2*Iters+1 = 11 reads per fit. Without the
+      // checkpoint each pass would re-scan and re-explode the corpus; at
+      // 100 TB that is 11 redundant corpus reads. localCheckpoint stores
+      // the |vecs|×(dim+1) row frame executor-local and truncates lineage.
       val ex = base
         .select(col("vec_id"), col("label"), col("y"), cw.as("cw"),
           posexplode(col("xs")).as(Seq("i", "x")))
+        .localCheckpoint()
       def zFrame(w: Array[Double]): DataFrame = {
         val wdf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
         ex.join(broadcast(wdf), "i")

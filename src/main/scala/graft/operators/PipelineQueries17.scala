@@ -30,8 +30,13 @@ object PipelineQueries17 {
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
-  /** p79 temperatures: α=1 is proportional sampling; lower α flattens. */
-  private val Alphas = Seq(0.3, 0.7)
+  /** p79 temperatures expressed as sqrt depth: α = 0.5^depth, i.e. 0.25 and
+    * 0.5 (α=1 would be proportional sampling; lower α flattens toward
+    * uniform). IEEE-754 sqrt is correctly rounded, so a sqrt chain is
+    * bit-identical across engines — unlike pow with a fractional exponent,
+    * which hits libm and can differ by ulps between glibc (DuckDB) and the
+    * JVM (the repo-wide rule: no fractional pow in gate outputs). */
+  private val SqrtDepths = Seq(2, 1)
 
   /** p80 Jaccard thresholds swept (shared pair set computed once). */
   private val Thresholds = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
@@ -50,9 +55,10 @@ object PipelineQueries17 {
     // ≤|langs|-row frame (window normalization over a handful of rows).
     // No driver collect, no second corpus scan.
     QueryDef("p79_lang_temperature", Some {
-      val alphaCols = Alphas.zipWithIndex.map { case (a, i) =>
-        s"""round(pow(share, $a) / sum(pow(share, $a)) OVER (), 6) AS p_a$i,
-           round(pow(share, $a) / sum(pow(share, $a)) OVER () / share, 6) AS boost_a$i"""
+      val alphaCols = SqrtDepths.zipWithIndex.map { case (d, i) =>
+        val e = (1 to d).foldLeft("share")((x, _) => s"sqrt($x)")
+        s"""round($e / sum($e) OVER (), 6) AS p_a$i,
+           round($e / sum($e) OVER () / share, 6) AS boost_a$i"""
       }.mkString(",\n")
       s"""
       WITH lt AS (
@@ -72,8 +78,9 @@ object PipelineQueries17 {
         .agg(sum(size(toks(col("text")))).as("n_tokens"))
       val all = Window.partitionBy()
       val share = col("n_tokens").cast("double") / sum(col("n_tokens")).over(all)
-      val alphaCols = Alphas.zipWithIndex.flatMap { case (a, i) =>
-        val pa = pow(col("share"), a) / sum(pow(col("share"), a)).over(all)
+      val alphaCols = SqrtDepths.zipWithIndex.flatMap { case (d, i) =>
+        val e = (1 to d).foldLeft(col("share"))((x, _) => sqrt(x))
+        val pa = e / sum(e).over(all)
         Seq(round(pa, 6).as(s"p_a$i"), round(pa / col("share"), 6).as(s"boost_a$i"))
       }
       lt.withColumn("share", share)
@@ -100,7 +107,7 @@ object PipelineQueries17 {
       df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle),
       rare AS (
         SELECT sh.doc_id, sh.shingle FROM sh JOIN df ON sh.shingle = df.shingle
-        WHERE df.n_docs <= greatest(2, CAST((SELECT count(*) FROM documents) * 0.02 AS BIGINT))),
+        WHERE df.n_docs <= greatest(2, CAST(floor((SELECT count(*) FROM documents) * 0.02) AS BIGINT))),
       sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
       pairs AS (
         SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j

@@ -84,7 +84,7 @@ object PipelineQueries2 {
       df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle),
       rare AS (
         SELECT sh.doc_id, sh.shingle FROM sh JOIN df ON sh.shingle = df.shingle
-        WHERE df.n_docs <= greatest(2, CAST((SELECT count(*) FROM documents) * 0.02 AS BIGINT))),
+        WHERE df.n_docs <= greatest(2, CAST(floor((SELECT count(*) FROM documents) * 0.02) AS BIGINT))),
       sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

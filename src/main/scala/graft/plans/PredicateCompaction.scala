@@ -120,7 +120,10 @@ object PredicateCompaction extends Rule[LogicalPlan] with PredicateHelper {
         }
         if (contradiction) LocalRelation(f.output)
         else {
-          val all = passThrough ++ rebuilt
+          // ranges first: the cheap, null-safe range guards evaluate before
+          // arbitrary pass-through conjuncts, so a range that used to
+          // short-circuit an error-throwing predicate (ANSI mode) still does
+          val all = rebuilt ++ passThrough
           if (all.isEmpty) child else Filter(all.reduce(And), child)
         }
       }

@@ -155,8 +155,14 @@ object DocumentStreams {
   def bandTable(docs: DataFrame): DataFrame = {
     val shingles = array_distinct(graft.Functions.wordShingles(
       split(lower(col("text")), "\\s+"), 3))
-    docs.select(col("doc_id"),
-      graft.functions.NativeExpressions.minhashSignature(shingles, 8).as("sig"))
+    // docs too short for even one 3-word shingle emit NO bands: an all-null
+    // signature would band every such doc into the constant md5('') bucket,
+    // cross-matching all short docs (a spurious-candidate flood and a
+    // quadratic hot key on (band, bucket) at scale)
+    docs.select(col("doc_id"), shingles.as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.minhashSignature(col("sh"), 8).as("sig"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(3)), b => struct(
           b.as("band"),
