@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Enforces COVERAGE.md's "bounded frame" prose as a plan property over the
+  * ENTIRE gate: no query's physical plan may contain an un-partitioned
+  * `WindowExec` (a single-partition global sort at scale) unless it is on
+  * the whitelist below, where every entry documents WHY its input is bounded
+  * and pins that bound with the window input's actual row-count metric.
+  *
+  * A global window over a corpus-sized input is the classic silent scale
+  * killer: correct at test SF, a one-task straggler at 100 TB. The bounded
+  * cases here are all frames the plan has already collapsed to a capped
+  * cardinality (band configs, vocabulary caps, decile/threshold rollups,
+  * label/source cross-tabs) before the window runs.
+  */
+class BoundedWindowSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  /** queries allowed an un-partitioned WindowExec: name -> (max input rows
+    * at sf0.001, why the input is bounded at ANY scale). */
+  private val bounded: Map[String, (Long, String)] = Map(
+    "p101_data_map" -> (1024L,
+      "decile-grid cross-tab: both windows run over the ≤10×10 cell frame / per-decile rollup"),
+    "p40_bpe_pairs" -> (4096L,
+      "merge ranking runs over the capped adjacent-pair vocabulary, never the corpus"),
+    "p41_vocab_prune" -> (4096L,
+      "prune ranking runs over the capped vocabulary frame"),
+    "p46_pmi_collocations" -> (4096L,
+      "PMI ranking runs over the min-count-filtered bigram vocabulary"),
+    "p47_kmeans_embeddings" -> (1024L,
+      "centroid init numbering sits over a LIMIT K frame (metric reads the pre-limit scan)"),
+    "p50_source_overlap" -> (1024L,
+      "overlap ranking runs over the |sources|^2 pair domain (a few hundred rows at most)"),
+    "p52_entity_blocking" -> (65536L,
+      "candidate ranking runs over MaxDf-capped blocking pairs — the hot gram never joins"),
+    "p55_dedup_audit" -> (1024L,
+      "audit windows run over the pair-bounded truth tier"),
+    "p64_curriculum_stages" -> (65536L,
+      "stage boundaries come from the value-domain-bounded surprisal histogram"),
+    "p67_vocab_coverage" -> (4096L,
+      "coverage curve runs over the capped vocabulary frame"),
+    "p78_rfm_segments" -> (65536L,
+      "three ExactPercentile cumulations over value-domain-bounded rec/freq/monetary histograms"),
+    "p79_lang_temperature" -> (1024L,
+      "temperature normalization runs over the one-row-per-language frame"),
+    "p83_vocab_growth" -> (64L,
+      "Heaps curve cumulates over the 10-row decile frame"),
+    "p85_quality_ensemble" -> (65536L,
+      "decile boundaries come from the value-domain-bounded score histogram"),
+    "q15_join_theta" -> (4096L,
+      "banded decomposition: the window sits over a ≤K-rows-per-band frame (BandedThetaJoin)"),
+    "q69_tpch_q15" -> (1024L,
+      "global max over the per-supplier aggregate (one row per supplier; avoids rescanning lineitem)"),
+  )
+
+  /** exempt from the row-bound check entirely — semantics force a global
+    * running frame and the QueryDef documents the 100-TB variant inline. */
+  private val exempt: Map[String, String] = Map(
+    "q79_window_frames" ->
+      ("a global running total is single-partition by construction; " +
+        "RelationalQueries3.scala documents that a 100-TB running total " +
+        "would be windowed per key or per time bucket"))
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def walk(x: SparkPlan): Unit = {
+      buf += x
+      x.children.foreach(walk)
+      x match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      x.subqueries.foreach(walk)
+    }
+    walk(p)
+    buf.toSeq
+  }
+
+  /** first descendant of the window's input chain carrying a row-count
+    * metric (Sort/Exchange wrappers in between don't count rows). */
+  private def inputRows(w: WindowExec): Option[Long] = {
+    val below = w.children.flatMap(collectAll)
+    below.flatMap(_.metrics.get("numOutputRows")).headOption.map(_.value)
+  }
+
+  test("no gate query plans an un-partitioned window over an unbounded input") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val df = SparkEntry.queries(name)(spark, SharedSpark.sf)
+      // compiled (pre-execution) plan: under AQE this is the initial plan,
+      // which still carries every WindowExec the query will run
+      val globalWins = collectAll(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if (globalWins.nonEmpty && !exempt.contains(name)) {
+        bounded.get(name) match {
+          case None =>
+            offenders += s"$name (not whitelisted, ${globalWins.size} global window(s))"
+          case Some((maxRows, why)) =>
+            // execute once so the metrics populate, then re-walk the FINAL
+            // plan (AQE may have replanned) and check the actual input size
+            df.queryExecution.executedPlan.execute().count()
+            val finalWins = collectAll(df.queryExecution.executedPlan)
+              .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+            for (w <- finalWins; rows <- inputRows(w))
+              if (rows > maxRows)
+                offenders += s"$name (documented bound $maxRows exceeded: $rows rows — $why)"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "un-partitioned corpus-risk windows found:\n  " + offenders.mkString("\n  "))
+  }
+}
