@@ -215,6 +215,13 @@ class Graft(val spark: SparkSession) {
               base.filter(col(c) >= expr(s"cast(${t.start} as timestamp_ntz)")
                 && col(c) < expr(s"cast(${t.end} as timestamp_ntz) + interval 1 day"))
           }
+        case None if t.relation.equalsIgnoreCase(
+            graft.sources.VirtualDatasets.prefix + "planets") =>
+          // $planets pseudo-temporality: the fact sheet "as of" the range's
+          // end excludes planets not yet discovered (reference
+          // planet_data.py:77-88)
+          base.filter(expr(
+            graft.sources.VirtualDatasets.planetsAsOfPredicate(t.end)))
         case None => base // non-temporal relation: FOR reads current state
       }
       filtered.createOrReplaceTempView(t.viewName)

@@ -741,12 +741,23 @@ object GraftSql {
     * exclude `$`; reference registry at opteryx/virtual_datasets/__init__.py:13-24).
     * `information_schema.tables/columns` → catalog-backed views (reference
     * routes the prefix as a connector, connectors/__init__.py:97). */
-  private def rewriteVirtualTables(sql: String): String =
-    mapOutsideLiterals(sql) {
+  private def rewriteVirtualTables(sql: String): String = {
+    val base = mapOutsideLiterals(sql) {
       _.replaceAll("""\$([A-Za-z_]\w*)""", graft.sources.VirtualDatasets.prefix + "$1")
         .replaceAll("""(?i)\binformation_schema\.(tables|columns)\b""",
           "graft_infoschema_$1")
     }
+    // per-relation column aliases (reference FlatColumn aliases=[...]):
+    // resolved only when the statement references the owning relation, so
+    // e.g. `planet_id` on an unrelated table is untouched
+    graft.sources.VirtualDatasets.columnAliases.foldLeft(base) {
+      case (s, (rel, aliases)) =>
+        if (!s.contains(graft.sources.VirtualDatasets.prefix + rel)) s
+        else aliases.foldLeft(s) { case (t, (alias, primary)) =>
+          mapOutsideLiterals(t)(_.replaceAll("(?i)\\b" + alias + "\\b", primary))
+        }
+    }
+  }
 
   private val fakeFn = """(?i)\bFAKE\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 

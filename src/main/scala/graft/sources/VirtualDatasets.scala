@@ -11,55 +11,115 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `$name` → `graft_virtual_name`; this object registers those views.
   * $planets and $stop_words carry real public data (planetary fact sheet
   * values; standard English stop words); $satellites/$astronauts/$missions
-  * are deterministic synthetic stand-ins with the reference's schemas —
-  * the capability under test is virtual-relation routing, not astronomy.
+  * are deterministic synthetic stand-ins with EXACT reference schema parity
+  * (column names incl. the camelCase primaries and misspelled legacy
+  * aliases, struct/array/date columns, nullability) — the capability under
+  * test is virtual-relation routing and dialect resolution, not astronomy.
   */
 object VirtualDatasets {
 
   val prefix = "graft_virtual_"
 
+  /** Column-name aliases the reference resolves per relation (reference:
+    * opteryx/virtual_datasets/planet_data.py:100-113 `aliases=[...]`,
+    * satellite_data.py:50, missions.py:47 — including the reference's own
+    * misspelled alias rows, which its users' queries depend on). GraftSql
+    * rewrites an alias to its primary name when the statement references the
+    * owning `$relation`. */
+  val columnAliases: Map[String, Seq[(String, String)]] = Map(
+    "planets" -> Seq(
+      "escape_velocity" -> "escapeVelocity", "rotation_period" -> "rotationPeriod",
+      "length_of_day" -> "lengthOfDay", "distance_from_sun" -> "distanceFromSun",
+      "orbital_period" -> "orbitalPeriod", "orbital_velocity" -> "orbitalVelocity",
+      "oribtal_velocity" -> "orbitalVelocity", "orbital_inclination" -> "orbitalInclination",
+      "oribtial_inclination" -> "orbitalInclination",
+      "orbital_eccentricity" -> "orbitalEccentricity",
+      "obliquity_to_orbit" -> "obliquityToOrbit", "mean_temperature" -> "meanTemperature",
+      "surface_pressure" -> "surfacePressure", "number_of_moons" -> "numberOfMoons"),
+    "satellites" -> Seq("planet_id" -> "planetId"),
+    "missions" -> Seq("Launched_at" -> "Lauched_at"))
+
   def register(spark: SparkSession): Unit = {
     import spark.implicits._
 
-    // Planetary fact-sheet data (public: NASA planetary fact sheet).
+    // Planetary fact-sheet data (public: NASA planetary fact sheet; schema
+    // parity with reference planet_data.py:93-114 — camelCase primaries,
+    // DECIMAL(3,1) gravity, NULL surfacePressure for the gas giants).
     Seq(
-      (1, "Mercury", 0.33, 4879.0, 5427.0, 3.7, 4.3, 1407.6, 4222.6, 57.9, 88.0, 0.0, 0),
-      (2, "Venus", 4.87, 12104.0, 5243.0, 8.9, 10.4, -5832.5, 2802.0, 108.2, 224.7, 92.0, 0),
-      (3, "Earth", 5.97, 12756.0, 5514.0, 9.8, 11.2, 23.9, 24.0, 149.6, 365.2, 1.0, 1),
-      (4, "Mars", 0.642, 6792.0, 3933.0, 3.7, 5.0, 24.6, 24.7, 227.9, 687.0, 0.01, 2),
-      (5, "Jupiter", 1898.0, 142984.0, 1326.0, 23.1, 59.5, 9.9, 9.9, 778.6, 4331.0, Double.NaN, 79),
-      (6, "Saturn", 568.0, 120536.0, 687.0, 9.0, 35.5, 10.7, 10.7, 1433.5, 10747.0, Double.NaN, 62),
-      (7, "Uranus", 86.8, 51118.0, 1271.0, 8.7, 21.3, -17.2, 17.2, 2872.5, 30589.0, Double.NaN, 27),
-      (8, "Neptune", 102.0, 49528.0, 1638.0, 11.0, 23.5, 16.1, 16.1, 4495.1, 59800.0, Double.NaN, 14),
-      (9, "Pluto", 0.0146, 2370.0, 2095.0, 0.7, 1.3, -153.3, 153.3, 5906.4, 90560.0, 0.00001, 5))
-      .toDF("id", "name", "mass", "diameter", "density", "gravity",
-        "escape_velocity", "rotation_period", "length_of_day",
-        "distance_from_sun", "orbital_period", "surface_pressure", "number_of_moons")
+      (1, "Mercury", 0.33, 4879L, 5427L, "3.7", 4.3, 1407.6, 4222.6, 57.9, 46.0, 69.8, 88.0, 47.4, 7.0, 0.205, 0.03, 167L, Some(0.0), 0L),
+      (2, "Venus", 4.87, 12104L, 5243L, "8.9", 10.4, -5832.5, 2802.0, 108.2, 107.5, 108.9, 224.7, 35.0, 3.4, 0.007, 177.4, 464L, Some(92.0), 0L),
+      (3, "Earth", 5.97, 12756L, 5514L, "9.8", 11.2, 23.9, 24.0, 149.6, 147.1, 152.1, 365.2, 29.8, 0.0, 0.017, 23.4, 15L, Some(1.0), 1L),
+      (4, "Mars", 0.642, 6792L, 3933L, "3.7", 5.0, 24.6, 24.7, 227.9, 206.6, 249.2, 687.0, 24.1, 1.9, 0.094, 25.2, -63L, Some(0.001), 2L),
+      (5, "Jupiter", 1898.0, 142984L, 1326L, "23.1", 59.5, 9.9, 9.9, 778.6, 740.5, 816.6, 4331.0, 13.1, 1.3, 0.049, 3.1, -108L, None, 79L),
+      (6, "Saturn", 568.0, 120536L, 687L, "9", 35.5, 10.7, 10.7, 1433.5, 1352.6, 1514.5, 10747.0, 9.7, 2.5, 0.057, 26.7, -139L, None, 82L),
+      (7, "Uranus", 86.8, 51118L, 1271L, "8.7", 21.3, -17.2, 17.2, 2872.5, 2741.3, 3003.6, 30589.0, 6.8, 0.8, 0.046, 97.8, -197L, None, 27L),
+      (8, "Neptune", 102.0, 49528L, 1638L, "11", 23.5, 16.1, 16.1, 4495.1, 4444.5, 4545.7, 59800.0, 5.4, 1.8, 0.011, 28.3, -201L, None, 14L),
+      (9, "Pluto", 0.0146, 2370L, 2095L, "0.7", 1.3, -153.3, 153.3, 5906.4, 4436.8, 7375.9, 90560.0, 4.7, 17.2, 0.244, 122.5, -225L, Some(0.00001), 5L))
+      .toDF("id", "name", "mass", "diameter", "density", "gravity_s",
+        "escapeVelocity", "rotationPeriod", "lengthOfDay", "distanceFromSun",
+        "perihelion", "aphelion", "orbitalPeriod", "orbitalVelocity",
+        "orbitalInclination", "orbitalEccentricity", "obliquityToOrbit",
+        "meanTemperature", "surfacePressure", "numberOfMoons")
+      .selectExpr("id", "name", "mass", "diameter", "density",
+        "CAST(gravity_s AS DECIMAL(3,1)) AS gravity", "escapeVelocity",
+        "rotationPeriod", "lengthOfDay", "distanceFromSun", "perihelion",
+        "aphelion", "orbitalPeriod", "orbitalVelocity", "orbitalInclination",
+        "orbitalEccentricity", "obliquityToOrbit", "meanTemperature",
+        "surfacePressure", "numberOfMoons")
       .createOrReplaceTempView(s"${prefix}planets")
 
-    // Deterministic synthetic satellites keyed to planets (schema parity).
+    // Deterministic synthetic satellites keyed to planets (schema parity
+    // with reference satellite_data.py:44-58: camelCase planetId + the
+    // density/albedo columns; moons only orbit planets 3-9 as in the data).
     spark.range(1, 178).selectExpr(
-      "id",
-      "CAST(1 + id % 9 AS INT) AS planet_id",
+      "CAST(id AS INT) AS id",
+      "CAST(3 + id % 7 AS INT) AS planetId",
       "concat('sat_', id) AS name",
-      "round(1000.0 + (id * 37 % 500000) / 7.0, 2) AS gm",
-      "round(10.0 + (id * 91 % 2500) / 10.0, 1) AS radius",
-      "round(0.05 + (id * 13 % 90) / 100.0, 2) AS magnitude")
+      "round((id * 37 % 69216) / 7.0, 3) AS gm",
+      "round((id * 91 % 18417) / 7.0, 1) AS radius",
+      "round(0.5 + (id * 53 % 35) / 10.0, 2) AS density",
+      "round(-13.0 + (id * 13 % 400) / 10.0, 1) AS magnitude",
+      "round((id * 17 % 20) / 10.0, 2) AS albedo")
       .createOrReplaceTempView(s"${prefix}satellites")
 
+    // Deterministic synthetic astronauts (schema parity with reference
+    // astronaut_data.py:51-69: `year`/`group` ints, struct birth_place
+    // {town, state}, VARCHAR arrays alma_mater/missions, DATE birth/death).
     spark.range(1, 358).selectExpr(
-      "id",
       "concat('astronaut_', id) AS name",
-      "CAST(1930 + id % 60 AS INT) AS birth_year",
-      "CASE WHEN id % 3 = 0 THEN 'Military' ELSE 'Civilian' END AS group_type",
+      "CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(1959 + (id % 19) * 2 AS INT) END AS year",
+      "CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(1 + id % 22 AS INT) END AS `group`",
+      "CASE WHEN id % 11 = 0 THEN 'Deceased' WHEN id % 3 = 0 THEN 'Active' ELSE 'Retired' END AS status",
+      "date_add(DATE'1930-01-01', CAST(id * 37 % 14600 AS INT)) AS birth_date",
+      "named_struct('town', concat('town_', id % 83), 'state', " +
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE substr('CAFLTXOHNYWAPANJMIINMAVA', 1 + (id % 12) * 2, 2) END) AS birth_place",
+      "CASE WHEN id % 8 = 0 THEN 'Female' ELSE 'Male' END AS gender",
+      "CASE WHEN id % 13 = 0 THEN NULL ELSE array(concat('university_', id % 41), concat('college_', id % 17)) END AS alma_mater",
+      "concat('major_', id % 29) AS undergraduate_major",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('grad_major_', id % 23) END AS graduate_major",
+      "CASE WHEN id % 3 = 0 THEN concat('rank_', id % 7) ELSE NULL END AS military_rank",
+      "CASE WHEN id % 3 = 0 THEN elt(1 + CAST(id % 4 AS INT), 'US Air Force', 'US Navy', 'US Army', 'US Marine Corps') ELSE NULL END AS military_branch",
       "CAST(id % 7 AS INT) AS space_flights",
-      "CAST((id * 97) % 4000 AS INT) AS space_flight_hours")
+      "CAST((id * 97) % 4000 AS INT) AS space_flight_hours",
+      "CAST(id % 5 AS INT) AS space_walks",
+      "CAST((id * 31) % 90 AS INT) AS space_walks_hours",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE transform(sequence(1, 1 + CAST(id % 3 AS INT)), m -> concat('mission_', (id + m) % 100)) END AS missions",
+      "CASE WHEN id % 11 = 0 THEN date_add(DATE'1967-01-27', CAST(id * 53 % 18000 AS INT)) ELSE NULL END AS death_date",
+      "CASE WHEN id % 11 = 0 AND id % 2 = 0 THEN concat('mission_', id % 100) ELSE NULL END AS death_mission")
       .createOrReplaceTempView(s"${prefix}astronauts")
 
+    // Deterministic synthetic launches (schema parity with reference
+    // missions.py:44-51 — note the reference's misspelled `Lauched_at`
+    // primary with `Launched_at` as the alias).
     spark.range(1, 4631).selectExpr(
-      "concat('mission_', id) AS name",
-      "CAST(1957 + id % 65 AS INT) AS year",
-      "CASE WHEN id % 5 = 0 THEN 'Failure' ELSE 'Success' END AS status")
+      "elt(1 + CAST(id % 8 AS INT), 'SpaceX', 'NASA', 'Roscosmos', 'CASC', 'ULA', 'Arianespace', 'ISRO', 'Rocket Lab') AS Company",
+      "concat('site_', id % 37) AS Location",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE round(5.0 + (id * 29 % 4500) / 10.0, 2) END AS Price",
+      "timestampadd(HOUR, CAST(id * 7 % 550000 AS INT), TIMESTAMP'1957-10-04 00:00:00') AS Lauched_at",
+      "concat('rocket_', id % 211) AS Rocket",
+      "CASE WHEN id % 4 = 0 THEN 'Retired' ELSE 'Active' END AS Rocket_Status",
+      "concat('mission_', id) AS Mission",
+      "CASE WHEN id % 23 = 0 THEN 'Partial Failure' WHEN id % 11 = 0 THEN 'Failure' ELSE 'Success' END AS Mission_Status")
       .createOrReplaceTempView(s"${prefix}missions")
 
     // $no_table: the implicit one-row relation behind table-less SELECTs.
@@ -85,6 +145,17 @@ object VirtualDatasets {
       "who", "whom", "why", "with", "you", "your")
     stopWords.toDF("value").createOrReplaceTempView(s"${prefix}stop_words")
   }
+
+  /** `$planets FOR <date>` pseudo-temporality (reference
+    * planet_data.py:77-88): the fact sheet "as of" a date excludes planets
+    * not yet discovered — Uranus 1781-04-26, Neptune 1846-11-13, Pluto
+    * 1930-03-13. Returned as a SQL predicate over `id` so the filter stays
+    * in the plan (no driver-side date evaluation). */
+  def planetsAsOfPredicate(endDateExpr: String): String =
+    s"""(id <= 6
+       | OR (id = 7 AND CAST($endDateExpr AS DATE) >= DATE'1781-04-26')
+       | OR (id = 8 AND CAST($endDateExpr AS DATE) >= DATE'1846-11-13')
+       | OR (id = 9 AND CAST($endDateExpr AS DATE) >= DATE'1930-03-13'))""".stripMargin
 
   /** $variables / $statistics are session-dependent — materialized on demand. */
   def variables(spark: SparkSession): DataFrame = {

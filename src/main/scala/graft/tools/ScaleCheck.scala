@@ -31,13 +31,23 @@ object ScaleCheck {
   private val outDir = "/tmp/sf1_synth"
   private val factor = 10
 
-  /** Scale-path ops: the bucketed/broadcast tiers VERDICT r5 audited as
-    * scale-safe. The all-pairs verification baselines (p04/p05) are
-    * excluded by design — their cost is quadratic on purpose.
+  /** Every pipeline op p01–p101. The all-pairs verification baselines
+    * (p04/p05) are quadratic ON PURPOSE (documented exact tiers) — their
+    * super-linear 10× ratios are expected and adjudicated in BENCH_NOTES,
+    * kept here so the artifact covers the full surface rather than
+    * silently omitting the known-expensive rows.
     * SPARK_GRAFT_SCALE_OPS=p01_dedup_exact,p18_dedup_components narrows a
     * run (partial reruns merge by hand into bench_sf1_synth.json). */
   private val allOps = Seq(
-    "p01_dedup_exact", "p02_dedup_minhash", "p17_dedup_jaccard_capped",
+    "p01_dedup_exact", "p02_dedup_minhash",
+    "p03_dedup_simhash", "p04_dedup_jaccard", "p05_dedup_embedding",
+    "p06_similarity_topk", "p07_similarity_lsh", "p08_text_langid",
+    "p09_text_quality", "p10_text_tokens", "p11_text_fingerprint",
+    "p12_multimodal_meta", "p13_events_window", "p14_events_sessions",
+    "p15_ann_ivf", "p16_pipeline_e2e", "p19_pii_redact",
+    "p21_sample_stratified", "p22_text_repetition", "p24_span_dedup",
+    "p26_bloom_incremental", "p27_source_mix", "p28_sequence_packing",
+    "p17_dedup_jaccard_capped",
     "p18_dedup_components", "p29_dedup_components_star",
     "p20_contamination", "p23_semantic_dedup", "p25_unigram_lm",
     "p30_doc_chunking", "p31_mixing_weights",
