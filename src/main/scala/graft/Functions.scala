@@ -243,7 +243,8 @@ object Functions {
     reg.createOrReplaceTempFunction("array_contains_any",
       (es: Seq[Expression]) => ArraysOverlap(es(0), es(1)), "internal")
     reg.createOrReplaceTempFunction("array_contains_all",
-      (es: Seq[Expression]) => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0)),
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftContainsAll(es(0), es(1)),
       "internal")
     reg.createOrReplaceTempFunction("get_string",
       (es: Seq[Expression]) => GetJsonObject(es(0),
@@ -273,7 +274,9 @@ object Functions {
         Literal(3600.0)), LongType), "internal")
     if (!reg.functionExists(FunctionIdentifier("unixtime")))
       reg.createOrReplaceTempFunction("unixtime",
-        (es: Seq[Expression]) => new UnixTimestamp(es.head), "internal")
+        (es: Seq[Expression]) =>
+          new UnixTimestamp(es.headOption.getOrElse(CurrentTimestamp())),
+        "internal")
     reg.createOrReplaceTempFunction("sort",
       (es: Seq[Expression]) => SortArray(es.head, Literal(true)), "internal")
     // CONNECTION_ID() — session identity (reference system corpus;
@@ -282,11 +285,12 @@ object Functions {
       spark.sparkContext.applicationId.getBytes("UTF-8")).getMostSignificantBits.abs
     reg.createOrReplaceTempFunction("connection_id",
       (_: Seq[Expression]) => Literal(sessionId), "internal")
-    // BLOB(x) — binary constructor (reference types corpus spelling;
-    // opteryx/functions/__init__.py BLOB → bytes cast)
+    // BLOB(x) — the dialect's bytes constructor, represented as UTF-8
+    // STRING in this engine (functions/DialectExpressions.scala scaladoc);
+    // complex inputs serialize to JSON so accessor chains keep working
     reg.createOrReplaceTempFunction("blob",
-      (es: Seq[Expression]) => Cast(es.head, org.apache.spark.sql.types.BinaryType),
-      "internal")
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftBlob(es.head), "internal")
     // Bitwise spellings the reference exposes as functions
     // (reference: opteryx/managers/expression/ops.py bitwise table)
     reg.createOrReplaceTempFunction("xor",
@@ -395,7 +399,8 @@ object Functions {
     reg.createOrReplaceTempFunction("list_contains_any",
       (es: Seq[Expression]) => ArraysOverlap(es(0), es(1)), "internal")
     reg.createOrReplaceTempFunction("list_contains_all",
-      (es: Seq[Expression]) => EqualTo(Size(ArrayExcept(es(1), es(0))), Literal(0)),
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftContainsAll(es(0), es(1)),
       "internal")
     for (bits <- Seq(224, 256, 384, 512))
       reg.createOrReplaceTempFunction(s"sha$bits",
@@ -410,12 +415,75 @@ object Functions {
       (es: Seq[Expression]) => Cast(es.head, StrType), "internal")
     // GET: Spark's builtin (0-based array subscript) stands; the reference's
     // map/JSON GET maps to element_at / [] / get_string, all present.
-    // SEARCH(field, term) — case-insensitive substring search (reference:
-    // other_functions.py:27-60; its list-membership polymorphism is
-    // LIST_CONTAINS here — Catalyst builders can't branch on unresolved
-    // input types)
+    // SEARCH(field, term) — case-insensitive containment with the
+    // reference's input-type polymorphism (text substring / array member /
+    // struct value search), via the RuntimeReplaceable dispatch in
+    // functions/DialectExpressions.scala
     reg.createOrReplaceTempFunction("search",
-      (es: Seq[Expression]) => Contains(Lower(es(0)), Lower(es(1))), "internal")
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftSearch(es(0), es(1)), "internal")
+    // `->` / `->>` / `@?` accessors — type-dispatching (struct field, map
+    // key, array subscript, JSON text path); GraftSql rewrites the operator
+    // spellings to these
+    reg.createOrReplaceTempFunction("graft_extract",
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftExtract(es(0), es(1), asText = false),
+      "internal")
+    reg.createOrReplaceTempFunction("graft_extract_text",
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftExtract(es(0), es(1), asText = true),
+      "internal")
+    reg.createOrReplaceTempFunction("graft_exists",
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftExists(es(0), es(1)), "internal")
+    // Function-style cast spellings the reference exposes that Spark lacks
+    // (int()/string()/double()/... all exist natively)
+    reg.createOrReplaceTempFunction("integer",
+      (es: Seq[Expression]) => Cast(es.head, org.apache.spark.sql.types.IntegerType),
+      "internal")
+    reg.createOrReplaceTempFunction("varchar",
+      (es: Seq[Expression]) => Cast(es.head, StrType), "internal")
+    // DATABASE() — current catalog database (reference system corpus)
+    reg.createOrReplaceTempFunction("database",
+      (_: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.CurrentDatabase(), "internal")
+    // APPROXIMATE_MEDIAN (reference aggregate registry) — t-digest sketch
+    // median; the EXACT percentile path stays operators/ExactPercentile
+    reg.createOrReplaceTempFunction("approximate_median",
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
+          es.head, Literal(0.5)).toAggregateExpression(), "internal")
+    // MIN_MAX(x) — one-pass (min, max) struct (reference aggregate registry)
+    // IFNULL with dynamic-typed fallback; LEAST/GREATEST single-array form
+    // (reference other_functions.py: LEAST(array) = element minimum)
+    reg.createOrReplaceTempFunction("ifnull",
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftIfNull(es(0), es(1)), "internal")
+    reg.createOrReplaceTempFunction("least",
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftExtrema(es, greatest = false),
+      "internal")
+    reg.createOrReplaceTempFunction("greatest",
+      (es: Seq[Expression]) =>
+        graft.functions.DialectExpressions.GraftExtrema(es, greatest = true),
+      "internal")
+    // IPv4-in-CIDR containment (reference documentation corpus:
+    // `'192.168.0.1' | '192.168.0.0/24'`; GraftSql rewrites the operator).
+    // A UDF, not an Expression: never on a hot path (literal probes).
+    spark.udf.register("ip_in_subnet", (ip: String, cidr: String) => {
+      def addr(s: String): Long =
+        s.split('.').foldLeft(0L)((a, p) => (a << 8) | p.toInt)
+      val Array(net, bits) = cidr.split('/')
+      val b = bits.toInt
+      val mask = if (b == 0) 0L else (0xFFFFFFFFL << (32 - b)) & 0xFFFFFFFFL
+      (addr(ip) & mask) == (addr(net) & mask)
+    })
+    reg.createOrReplaceTempFunction("min_max",
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.CreateStruct(Seq(
+        org.apache.spark.sql.catalyst.expressions.aggregate.Min(es.head)
+          .toAggregateExpression(),
+        org.apache.spark.sql.catalyst.expressions.aggregate.Max(es.head)
+          .toAggregateExpression())), "internal")
     // CURRENT_TIME — time-of-day string (Spark has no TIME type)
     if (!reg.functionExists(FunctionIdentifier("current_time")))
       reg.createOrReplaceTempFunction("current_time",

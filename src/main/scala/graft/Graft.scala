@@ -157,7 +157,11 @@ class Graft(val spark: SparkSession) {
     // meta-statement surface (SHOW COLUMNS / SET @var / SHOW var / EXPLAIN)
     sql match {
       case Meta.ShowColumnsRe(ext, table) =>
-        return Meta.showColumns(spark, table, ext != null)
+        val resolved =
+          if (table.startsWith("$"))
+            graft.sources.VirtualDatasets.prefix + table.drop(1)
+          else table
+        return Meta.showColumns(spark, resolved, ext != null)
       case Meta.ShowCreateViewRe(name) =>
         return Meta.showCreateView(spark, views, name)
       case Meta.SetVarRe(name, value) =>
@@ -196,8 +200,15 @@ class Graft(val spark: SparkSession) {
     // relation, so the predicate sits at the scan (partition/row-group
     // pruning applies) rather than over the query result
     rw.temporal.foreach { t =>
-      val base = spark.table(t.relation)
-      val filtered = temporalColumns.get(t.relation.toLowerCase) match {
+      // `$planets FOR ...` captures the raw `$name` spelling (extractTemporal
+      // runs before the virtual-table rewrite) — normalize to the registered
+      // view name here
+      val relation =
+        if (t.relation.startsWith("$"))
+          graft.sources.VirtualDatasets.prefix + t.relation.drop(1)
+        else t.relation
+      val base = spark.table(relation)
+      val filtered = temporalColumns.get(relation.toLowerCase) match {
         case Some(c) =>
           // compare in the column's own type so a DATE/STRING partition
           // column keeps its literal comparison — that is what lets Catalyst
@@ -215,7 +226,7 @@ class Graft(val spark: SparkSession) {
               base.filter(col(c) >= expr(s"cast(${t.start} as timestamp_ntz)")
                 && col(c) < expr(s"cast(${t.end} as timestamp_ntz) + interval 1 day"))
           }
-        case None if t.relation.equalsIgnoreCase(
+        case None if relation.equalsIgnoreCase(
             graft.sources.VirtualDatasets.prefix + "planets") =>
           // $planets pseudo-temporality: the fact sheet "as of" the range's
           // end excludes planets not yet discovered (reference

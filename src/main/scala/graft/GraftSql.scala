@@ -62,11 +62,13 @@ object GraftSql {
 
   def rewrite(sql: String): Rewritten = {
     var s = stripComments(sql)
+    s = rewriteLiteralPrefixes(s)
     s = rewriteNumericLiterals(s)
     val (afterTemporal, ranges) = extractTemporal(s)
     s = afterTemporal
     val (afterPaths, paths) = extractPathTables(s)
     s = afterPaths
+    s = rewriteDialectSpellings(s)
     s = rewriteJsonOps(s)
     s = rewriteQuantified(s)
     s = rewriteDistinctOn(s)
@@ -75,6 +77,15 @@ object GraftSql {
     s = rewriteTableFunctions(s)
     Rewritten(s.trim, ranges, paths)
   }
+
+  /** `b'...'` / `r'...'` literal prefixes (reference types corpus): BLOB
+    * literals are UTF-8 text in this engine (explicit `blob()` remains for
+    * true binary), raw strings lose the prefix — close-enough semantics for
+    * every corpus use (regex patterns/replacements), exact for comparisons
+    * via Spark's implicit string↔binary casts. Runs BEFORE literal-masked
+    * rewrites because the masker would see only the quoted tail. */
+  private def rewriteLiteralPrefixes(sql: String): String =
+    sql.replaceAll("""(?<![\w'])[bBrR]'((?:[^']|'')*)'""", "'$1'")
 
   // -- comments ---------------------------------------------------------
 
@@ -212,7 +223,8 @@ object GraftSql {
   // LAST n DAYS} (reference: opteryx/planner/sql_rewriter.py:51-55)
   private val forClause =
     ("""(?is)\b(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+""" +
-      """(TODAY|YESTERDAY|'[^']*'|DATES\s+BETWEEN\s+('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)|DATES\s+IN\s+(\w+)|DATES\s+SINCE\s+('[^']*'|TODAY|YESTERDAY)|LAST\s+(\d+)\s+DAYS)""").r
+      """(TODAY|YESTERDAY|'[^']*'|DATES\s+BETWEEN\s+('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)|DATES\s+IN\s+(\w+)|DATES\s+SINCE\s+('[^']*'|TODAY|YESTERDAY)|LAST\s+(\d+)\s+DAYS)""" +
+      """(\s+AS\s+\w+)?""").r
 
   private def resolveDate(token: String): String = token.trim.toUpperCase match {
     case "TODAY" => "current_date()"
@@ -242,8 +254,12 @@ object GraftSql {
       val keyword = m.group(1)
       val rel = m.group(2)
       // keep the original name visible as alias so qualified column refs
-      // (`events.ts`) keep resolving
-      val alias = Option(m.group(3)).map(_.trim)
+      // (`events.ts`) keep resolving; the alias may sit before OR after the
+      // FOR clause (`$planets FOR TODAY AS today` — reference regression
+      // corpus spelling)
+      val postAlias = Option(m.group(10))
+        .map(_.trim.replaceAll("(?i)^AS\\s+", ""))
+      val alias = postAlias.orElse(Option(m.group(3)).map(_.trim))
         .getOrElse(rel.split('.').last.replaceAll("\\W", "_"))
       val spec = m.group(4)
       val specU = spec.toUpperCase
@@ -302,7 +318,7 @@ object GraftSql {
       while (it.hasNext) {
         val e = it.next()
         val v = if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString
-        conjuncts += s"get_json_object(${m.group(1)}, '$$.${e.getKey}') = '${v.replace("'", "''")}'"
+        conjuncts += s"graft_extract_text(${m.group(1)}, '${e.getKey}') = '${v.replace("'", "''")}'"
       }
       if (conjuncts.isEmpty) "TRUE" else conjuncts.mkString("(", " AND ", ")")
     }
@@ -311,8 +327,12 @@ object GraftSql {
     var s = sql
     if (s.contains("@>")) s = rewriteAtArrow(s)
     if (s.contains("@?"))
+      // graft_exists dispatches on the LHS type (struct field / map key /
+      // array bound / JSON path — functions/DialectExpressions.scala); a
+      // plain function call also composes with a following IS [NOT] NULL,
+      // which the old `... IS NOT NULL` splice could not parse
       s = replaceOutsideLiterals(atQuestion, s)(m =>
-        s"get_json_object(${m.group(1)}, '${jsonPath(m.group(2))}') IS NOT NULL")
+        s"graft_exists(${m.group(1)}, '${m.group(2).replace("'", "''")}')")
     if (s.contains("->")) s = rewriteArrowOps(s)
     s
   }
@@ -399,11 +419,14 @@ object GraftSql {
             val isLambda = (bareIdent || parenParams) && afterParenOrComma &&
               hofNames(enclosingCallName(sql, mask, p))
             if (!isLambda) {
-              val path =
-                if (rhsQuoted) jsonPath(key).replace("'", "''")
-                else s"$$[$key]"
+              // graft_extract[_text] dispatches on the LHS type at analysis
+              // (struct/map/array native access, JSON text via
+              // get_json_object — functions/DialectExpressions.scala)
+              val fn = if (opEnd - i == 3) "graft_extract_text" else "graft_extract"
+              val keyArg =
+                if (rhsQuoted) s"'${key.replace("'", "''")}'" else key
               return Some(sql.substring(0, lhsStart) +
-                s"get_json_object($lhs, '$path')" + sql.substring(rEnd))
+                s"$fn($lhs, $keyArg)" + sql.substring(rEnd))
             }
           }
         }
@@ -759,7 +782,8 @@ object GraftSql {
     }
   }
 
-  private val fakeFn = """(?i)\bFAKE\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val fakeFn =
+    """(?i)\bFAKE\s*\(\s*(\d+)\s*,\s*(\d+|\([^)]*\))\s*\)""".r
 
   private val seriesFn = """(?i)\bGENERATE_SERIES\s*\(""".r
 
@@ -769,7 +793,15 @@ object GraftSql {
   private def rewriteTableFunctions(sql: String): String = {
     var s = mapOutsideLiterals(sql) { text =>
       fakeFn.replaceAllIn(text, m => {
-        val cols = (0 until m.group(2).toInt)
+        // second arg is a column count OR the reference's type-tuple
+        // spelling `FAKE(n, (NAME, INTEGER, VARCHAR))` — either way each
+        // column is a deterministic-free rand() (run-only semantics); a
+        // type tuple sets the column count from its arity
+        val arg = m.group(2)
+        val n =
+          if (arg.startsWith("(")) arg.drop(1).dropRight(1).split(",").length
+          else arg.toInt
+        val cols = (0 until n)
           .map(i => s"rand() AS column_$i").mkString(", ")
         Matcher.quoteReplacement(s"(SELECT $cols FROM range(0, ${m.group(1)}))")
       })
@@ -825,6 +857,300 @@ object GraftSql {
           changed = true
         }
       }
+    }
+    s
+  }
+
+  // -- reference dialect spellings --------------------------------------------
+
+  private val typedLiteral =
+    ("""(?i)(?<![\w.])(INTEGER|INT|BIGINT|SMALLINT|TINYINT|DOUBLE|FLOAT|REAL|""" +
+      """DECIMAL|NUMERIC|BOOLEAN|VARCHAR|BLOB)\s+'((?:[^']|'')*)'""").r
+
+  private val typedLiteralTarget = Map(
+    "INTEGER" -> "INT", "NUMERIC" -> "DECIMAL", "REAL" -> "FLOAT",
+    "VARCHAR" -> "STRING", "BLOB" -> "BINARY")
+
+  private val extractRename = Map(
+    "ISOYEAR" -> "YEAROFWEEK", "DAYOFYEAR" -> "DOY", "ISOWEEK" -> "WEEK",
+    "WEEKDAY" -> "DOW")
+
+  /** EXTRACT fields Spark lacks, as expression templates over the operand. */
+  private val extractCompute: Map[String, String => String] = Map(
+    "CENTURY" -> (e => s"CAST(floor((year($e) - 1) / 100) + 1 AS INT)"),
+    "DECADE" -> (e => s"CAST(floor(year($e) / 10) AS INT)"),
+    "MILLISECOND" -> (e => s"CAST(floor(extract(SECOND FROM $e) * 1000) AS INT)"),
+    "MILLISECONDS" -> (e => s"CAST(floor(extract(SECOND FROM $e) * 1000) AS INT)"),
+    "NANOSECOND" -> (e => s"CAST(floor(extract(SECOND FROM $e) * 1000000000) AS BIGINT)"),
+    "NANOSECONDS" -> (e => s"CAST(floor(extract(SECOND FROM $e) * 1000000000) AS BIGINT)"),
+    "JULIAN" -> (e => s"(CAST(unix_date(CAST($e AS DATE)) AS DOUBLE) + 2440587.5)"),
+    "DATE" -> (e => s"CAST($e AS DATE)"),
+    "TIME" -> (e => s"date_format($e, 'HH:mm:ss')"))
+
+  private val datediffUnit = Map(
+    "DAY" -> "DAY", "DAYS" -> "DAY", "HOUR" -> "HOUR", "HOURS" -> "HOUR",
+    "MINUTE" -> "MINUTE", "MINUTES" -> "MINUTE", "SECOND" -> "SECOND",
+    "SECONDS" -> "SECOND", "WEEK" -> "WEEK", "WEEKS" -> "WEEK",
+    "MONTH" -> "MONTH", "MONTHS" -> "MONTH", "QUARTER" -> "QUARTER",
+    "QUARTERS" -> "QUARTER", "YEAR" -> "YEAR", "YEARS" -> "YEAR",
+    "MILLISECOND" -> "MILLISECOND", "MILLISECONDS" -> "MILLISECOND",
+    "MICROSECOND" -> "MICROSECOND", "MICROSECONDS" -> "MICROSECOND")
+
+  /** Find the `)` closing the `(` at `open` (mask-aware); -1 if unbalanced. */
+  private def closeParen(s: String, mask: Array[Boolean], open: Int): Int = {
+    var depth = 0
+    var k = open
+    while (k < s.length) {
+      val ch = s.charAt(k)
+      if (!mask(k) && ch == '(') depth += 1
+      else if (!mask(k) && ch == ')') { depth -= 1; if (depth == 0) return k }
+      k += 1
+    }
+    -1
+  }
+
+  /** Reference spellings with no direct Spark equivalent (reference corpora:
+    * tests/integration/sql_battery/test_data/tests — the literal statements
+    * ReferenceCorpusSpec runs):
+    *   - typed literals `INTEGER '22'` → `CAST('22' AS INT)` (Spark only
+    *     supports DATE/TIMESTAMP/INTERVAL/X'…' natively)
+    *   - EXTRACT fields CENTURY/DECADE/MILLISECOND/NANOSECOND (computed) and
+    *     ISOYEAR/DAYOFYEAR/ISOWEEK (renamed to Spark's spellings)
+    *   - `DATEDIFF('unit', a, b)` → `timestampdiff(UNIT, a, b)`
+    *   - `ARRAY_AGG(x LIMIT n)` → `slice(array_agg(x), 1, n)`
+    *   - `[e1, e2, …]` array literals → `array(e1, e2, …)` (bracket after an
+    *     operand is subscripting and stays)
+    *   - `UNNEST((a, b))` tuple form → `UNNEST(ARRAY(a, b))`
+    *   - `x @> array(...)` / `x @> (v1, v2)` array containment →
+    *     `array_contains_all(x, array(...))`
+    *   - `VARCHAR`/`BLOB` as type names in generic/cast positions →
+    *     STRING/BINARY
+    */
+  private def rewriteDialectSpellings(sql: String): String = {
+    var s = sql
+    // typed literals
+    s = replaceOutsideLiterals(typedLiteral, s) { m =>
+      val t = m.group(1).toUpperCase
+      s"CAST('${m.group(2)}' AS ${typedLiteralTarget.getOrElse(t, t)})"
+    }
+    // EXTRACT renames
+    s = mapOutsideLiterals(s) { t =>
+      extractRename.foldLeft(t) { case (x, (from, to)) =>
+        x.replaceAll(s"(?i)(\\bEXTRACT\\s*\\(\\s*)$from\\b", "$1" + to)
+      }
+    }
+    // EXTRACT computed fields — balanced splice of the operand
+    var guard = 0
+    var changed = true
+    val extractComputed =
+      ("""(?i)\bEXTRACT\s*\(\s*(CENTURY|DECADE|MILLISECONDS?|NANOSECONDS?|""" +
+        """JULIAN|DATE|TIME)\s+FROM\b""").r
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val mask = literalMask(s)
+      extractComputed.findAllMatchIn(s).find(m => !mask(m.start)).foreach { m =>
+        val open = s.indexOf('(', m.start)
+        val close = closeParen(s, mask, open)
+        if (close > 0) {
+          val operand = s.substring(m.end, close).trim
+          s = s.substring(0, m.start) +
+            extractCompute(m.group(1).toUpperCase)(operand) + s.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    // DATEDIFF with unit
+    s = replaceOutsideLiterals("""(?i)\bDATEDIFF\s*\(\s*'(\w+)'\s*,""".r, s) { m =>
+      datediffUnit.get(m.group(1).toUpperCase) match {
+        case Some(u) => s"timestampdiff($u,"
+        case None => m.matched
+      }
+    }
+    // ARRAY_AGG(... LIMIT n)
+    guard = 0
+    changed = true
+    val aggLimit = """(?i)\bARRAY_AGG\s*\(""".r
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val mask = literalMask(s)
+      aggLimit.findAllMatchIn(s).foreach { m =>
+        if (!changed && !mask(m.start)) {
+          val open = m.end - 1
+          val close = closeParen(s, mask, open)
+          if (close > 0) {
+            val inner = s.substring(open + 1, close)
+            val lim = """(?i)\s+LIMIT\s+(\d+)\s*$""".r.findFirstMatchIn(inner)
+            lim.foreach { lm =>
+              s = s.substring(0, m.start) +
+                s"slice(array_agg(${inner.substring(0, lm.start)}), 1, ${lm.group(1)})" +
+                s.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+      }
+    }
+    // bracket array literals (fixpoint: nested arrays convert outside-in).
+    // A `[` after an operand is subscripting: literal string/int subscripts
+    // become graft_extract (type-dispatching — struct field, map key, array
+    // index, JSON-text path alike), anything else stays Spark-native. A `[`
+    // after a keyword, `(`/`,`, an operator, or the `ARRAY` constructor word
+    // is an array literal.
+    val kw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE",
+      "WHEN", "IN", "ON", "BY", "AS", "VALUES", "RETURN", "UNION", "ALL",
+      "DISTINCT", "HAVING", "SET", "BETWEEN", "LIKE", "ILIKE", "ARRAY")
+    guard = 0
+    changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val mask = literalMask(s)
+      var i = 0
+      while (i < s.length && !changed) {
+        if (!mask(i) && s.charAt(i) == '[') {
+          var p = i - 1
+          while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+          // preceding word (if any): keywords make this a literal
+          var w = p
+          while (w >= 0 && (s.charAt(w).isLetterOrDigit || s.charAt(w) == '_')) w -= 1
+          val word = if (w < p) s.substring(w + 1, p + 1).toUpperCase else ""
+          val isArrayWord = word == "ARRAY"
+          val subscript = !isArrayWord && !kw.contains(word) && p >= 0 &&
+            (s.charAt(p).isLetterOrDigit || s.charAt(p) == '_' ||
+              s.charAt(p) == ')' || s.charAt(p) == ']' || s.charAt(p) == '\'')
+          var depth = 0
+          var k = i
+          var close = -1
+          while (k < s.length && close < 0) {
+            val ch = s.charAt(k)
+            if (!mask(k) && ch == '[') depth += 1
+            else if (!mask(k) && ch == ']') { depth -= 1; if (depth == 0) close = k }
+            k += 1
+          }
+          if (close > 0 && !subscript) {
+            val start = if (isArrayWord) w + 1 else i
+            s = s.substring(0, start) + "array(" + s.substring(i + 1, close) +
+              ")" + s.substring(close + 1)
+            changed = true
+          } else if (close > 0 && subscript) {
+            // literal-keyed subscript → graft_extract (a string key on a
+            // JSON-text column has no Spark-native bracket form)
+            val inner = s.substring(i + 1, close).trim
+            val literalKey = inner.matches("'(?:[^']|'')*'") || inner.matches("\\d+")
+            if (literalKey) {
+              var l = i - 1
+              while (l >= 0 && s.charAt(l).isWhitespace) l -= 1
+              val lhsStart = operandStart(s, mask, l)
+              if (lhsStart >= 0 && lhsStart <= l) {
+                val lhs = s.substring(lhsStart, l + 1)
+                s = s.substring(0, lhsStart) +
+                  s"graft_extract($lhs, $inner)" + s.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    // UNNEST((a, b)) tuple form
+    s = mapOutsideLiterals(s) {
+      _.replaceAll("""(?i)\bUNNEST\s*\(\s*\(""", "UNNEST(ARRAY(")
+    }
+    // x @> array(...) / x @> (v1, v2) — array containment
+    guard = 0
+    changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val mask = literalMask(s)
+      var i = 0
+      while (i < s.length - 1 && !changed) {
+        if (!mask(i) && s.charAt(i) == '@' && s.charAt(i + 1) == '>') {
+          var r = i + 2
+          while (r < s.length && s.charAt(r).isWhitespace) r += 1
+          val isArrayFn = s.regionMatches(true, r, "array(", 0, 6) ||
+            s.regionMatches(true, r, "array (", 0, 7)
+          val isTuple = r < s.length && s.charAt(r) == '(' &&
+            !s.regionMatches(true, r + 1, "select", 0, 6)
+          if (isArrayFn || isTuple) {
+            val open = s.indexOf('(', r)
+            val close = closeParen(s, mask, open)
+            var l = i - 1
+            while (l >= 0 && s.charAt(l).isWhitespace) l -= 1
+            val lhsStart = operandStart(s, mask, l)
+            if (close > 0 && lhsStart >= 0 && lhsStart <= l) {
+              val rawLhs = s.substring(lhsStart, l + 1)
+              // a bare parenthesized tuple on the LHS is the reference's
+              // array spelling too: ('a','b') @> [...] — never a struct
+              val lhs =
+                if (rawLhs.startsWith("(") && rawLhs.endsWith(")")) "array" + rawLhs
+                else rawLhs
+              val rhs =
+                if (isArrayFn) s.substring(r, close + 1)
+                else "array" + s.substring(open, close + 1)
+              s = s.substring(0, lhsStart) +
+                s"array_contains_all($lhs, $rhs)" + s.substring(close + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    // VARCHAR/BLOB as type names: the dialect's BLOB surface is UTF-8
+    // STRING engine-wide (DialectExpressions.GraftBlob scaladoc), so the
+    // type spelling maps to STRING as well — `CAST(42.0 AS BLOB)` compares
+    // equal to `BLOB('42.0')`
+    s = mapOutsideLiterals(s) {
+      _.replaceAll("""(?i)\bVARCHAR\s*>""", "STRING>")
+        .replaceAll("""(?i)\bBLOB\b(?!\s*\()""", "STRING")
+    }
+    // infix XOR — boolean exclusive-or is exactly != on booleans
+    s = mapOutsideLiterals(s) {
+      _.replaceAll("""(?i)\bXOR\b(?!\s*\()""", "!=")
+    }
+    // CURRENT_TIME keyword (Spark 4 parses it into the unsupported TIME
+    // type) → time-of-day string, matching the registered current_time()
+    s = mapOutsideLiterals(s) {
+      _.replaceAll("""(?i)\bCURRENT_TIME\b(?!\s*\(|STAMP)""",
+        "date_format(current_timestamp(), 'HH:mm:ss')")
+    }
+    // MySQL-style @@session variables (reference power_bi corpus): every
+    // variable reads as a NULL string, keeping the projection shape
+    s = mapOutsideLiterals(s) {
+      _.replaceAll("""@@(\w+)""", "CAST(NULL AS STRING) AS $1")
+    }
+    // GENERATE_SERIES over dates with a duration step: '1y'/'1mo'/'1w'/
+    // '1d'/'1h' steps become intervals, bounds become dates
+    s = replaceOutsideLiterals(
+      ("""(?i)\bGENERATE_SERIES\s*\(\s*'(\d{4}-\d{2}-\d{2})'\s*,""" +
+        """\s*'(\d{4}-\d{2}-\d{2})'\s*,\s*'(\d+)\s*(y|mo|w|d|h|m|s)'\s*\)""").r, s) { m =>
+      val unit = m.group(4).toLowerCase match {
+        case "y" => "YEAR"
+        case "mo" => "MONTH"
+        case "w" => "WEEK"
+        case "d" => "DAY"
+        case "h" => "HOUR"
+        case "m" => "MINUTE"
+        case "s" => "SECOND"
+      }
+      s"GENERATE_SERIES(DATE'${m.group(1)}', DATE'${m.group(2)}', " +
+        s"INTERVAL '${m.group(3)}' $unit)"
+    }
+    // ORDER BY inside order-insensitive aggregates (reference tolerates it;
+    // Spark's parser does not) — drop it, the result is identical
+    s = mapOutsideLiterals(s) {
+      _.replaceAll(
+        """(?i)\b(SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?([^()]*?)\s+ORDER\s+BY\s+[^()]*\)""",
+        "$1($2$3)")
+    }
+    // `'ip' | 'cidr'` IPv4 containment (reference documentation corpus)
+    s = replaceOutsideLiterals(
+      """('(?:[^']|'')*'|[\w.]+)\s*\|\s*'([^']+/\d+)'""".r, s) { m =>
+      s"ip_in_subnet(${m.group(1)}, '${m.group(2)}')"
     }
     s
   }

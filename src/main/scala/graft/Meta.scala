@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Meta {
 
+  // trailing FOR <temporal> is accepted and ignored: columns are schema
+  // metadata, and the schema is not versioned (reference behaves the same)
   val ShowColumnsRe =
-    """(?is)^\s*SHOW\s+(EXTENDED\s+)?COLUMNS\s+(?:FROM|IN)\s+([\w.$]+)\s*;?\s*$""".r
+    """(?is)^\s*SHOW\s+(EXTENDED\s+)?COLUMNS\s+(?:FROM|IN)\s+([\w.$]+)(?:\s+FOR\s+.+?)?\s*;?\s*$""".r
   val ShowCreateViewRe =
     """(?is)^\s*SHOW\s+CREATE\s+VIEW\s+([\w.$]+)\s*;?\s*$""".r
   val SetVarRe = """(?is)^\s*SET\s+@(\w+)\s*=\s*(.+?)\s*;?\s*$""".r
