@@ -84,8 +84,34 @@ object GraftSql {
     * every corpus use (regex patterns/replacements), exact for comparisons
     * via Spark's implicit string↔binary casts. Runs BEFORE literal-masked
     * rewrites because the masker would see only the quoted tail. */
-  private def rewriteLiteralPrefixes(sql: String): String =
-    sql.replaceAll("""(?<![\w'])[bBrR]'((?:[^']|'')*)'""", "'$1'")
+  private def rewriteLiteralPrefixes(sql: String): String = {
+    // quote-aware scan (same state machine as stripComments): a b/r that
+    // appears INSIDE an existing string literal (`'a b''c'' d'`) is content,
+    // not a prefix — a bare replaceAll would corrupt it
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inStr = false
+        }
+      } else if ((c == 'b' || c == 'B' || c == 'r' || c == 'R')
+          && i + 1 < sql.length && sql.charAt(i + 1) == '\''
+          && (i == 0 || {
+            val p = sql.charAt(i - 1)
+            !Character.isLetterOrDigit(p) && p != '_' && p != '\''
+          })) {
+        () // drop the prefix; the opening quote is handled next iteration
+      } else if (c == '\'') { inStr = true; out.append(c) }
+      else out.append(c)
+      i += 1
+    }
+    out.toString
+  }
 
   // -- comments ---------------------------------------------------------
 
@@ -281,13 +307,29 @@ object GraftSql {
   private val pathTable =
     """(?is)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|tsv|psv|json|jsonl|orc|avro|feather|arrow|ipc|(?:csv|tsv|psv|json|jsonl)\.gz|(?:json|jsonl)\.zst))'""".r
 
+  /** An unquoted dotted identifier chain with a hyphenated segment
+    * (`FROM testdata.hyphened-name`) can't be a Spark identifier — the
+    * reference resolves such names as disk paths (dataset names ARE paths
+    * there), so treat the chain as a path table: dots become directory
+    * separators, the leaf is read by extension or as a parquet directory.
+    * Requires a hyphen to fire, so ordinary dotted names stay identifiers;
+    * spaced arithmetic (`FROM t WHERE a - 1`) never matches the chain. */
+  private val hyphenPathTable =
+    """(?i)\b(FROM|JOIN)\s+(?=[\w.]*-)([A-Za-z_][\w-]*(?:\.[\w-]+)+)""".r
+
   /** Turn `FROM 'x/y.parquet'` into `FROM <generated view>`; caller registers
     * each returned path as a temp view named by [[viewNameFor]]. */
   private def extractPathTables(sql: String): (String, Seq[String]) = {
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
-    val rewritten = pathTable.replaceAllIn(sql, m => {
+    var rewritten = pathTable.replaceAllIn(sql, m => {
       paths += m.group(2)
       Matcher.quoteReplacement(s"${m.group(1)} ${viewNameFor(m.group(2))}")
+    })
+    rewritten = hyphenPathTable.replaceAllIn(rewritten, m => {
+      val chain = m.group(2).stripSuffix(".").stripSuffix("-")
+      val path = chain.replace('.', '/')
+      paths += path
+      Matcher.quoteReplacement(s"${m.group(1)} ${viewNameFor(path)}")
     })
     (rewritten, paths.toSeq)
   }
@@ -480,6 +522,61 @@ object GraftSql {
     "not", "on", "when", "then", "else", "end", "case", "by", "having",
     "join", "in", "between", "like", "ilike", "rlike", "as", "union",
     "intersect", "except", "limit", "offset", "distinct", "all", "any")
+
+  /** Keywords that bound an infix-XOR operand: everything at or below OR
+    * precedence plus clause context. AND/NOT/comparisons bind tighter than
+    * XOR (MySQL precedence, which the reference's parser follows), so they
+    * stay inside the operand. */
+  private val xorBoundaryKw = Set("or", "select", "from", "where", "when",
+    "then", "else", "end", "case", "by", "having", "join", "on", "union",
+    "intersect", "except", "limit", "offset", "group", "order", "as",
+    "asc", "desc", "nulls")
+
+  /** Operand span for an infix XOR at [xs, xe): returns (lhsStart, rhsEnd)
+    * where each side extends to the nearest depth-0 boundary — a comma, an
+    * unbalanced paren/bracket, a [[xorBoundaryKw]] word, or the string end. */
+  private def xorOperandBounds(
+      s: String, mask: Array[Boolean], xs: Int, xe: Int): (Int, Int) = {
+    var lhsStart = 0
+    var i = xs - 1
+    var depth = 0
+    var done = false
+    while (i >= 0 && !done) {
+      val c = s.charAt(i)
+      if (mask(i)) i -= 1
+      else if (c == ')' || c == ']') { depth += 1; i -= 1 }
+      else if (c == '(' || c == '[') {
+        if (depth == 0) { lhsStart = i + 1; done = true } else { depth -= 1; i -= 1 }
+      } else if ((c == ',' || c == ';') && depth == 0) { lhsStart = i + 1; done = true }
+      else if (c.isLetterOrDigit || c == '_') {
+        var w = i
+        while (w >= 0 && (s.charAt(w).isLetterOrDigit || s.charAt(w) == '_')) w -= 1
+        val word = s.substring(w + 1, i + 1).toLowerCase
+        if (depth == 0 && xorBoundaryKw(word)) { lhsStart = i + 1; done = true }
+        else i = w
+      } else i -= 1
+    }
+    var rhsEnd = s.length
+    var j = xe
+    depth = 0
+    done = false
+    while (j < s.length && !done) {
+      val c = s.charAt(j)
+      if (mask(j)) j += 1
+      else if (c == '(' || c == '[') { depth += 1; j += 1 }
+      else if (c == ')' || c == ']') {
+        if (depth == 0) { rhsEnd = j; done = true } else { depth -= 1; j += 1 }
+      } else if ((c == ',' || c == ';') && depth == 0) { rhsEnd = j; done = true }
+      else if (c.isLetter || c == '_') {
+        var w = j
+        while (w < s.length && (s.charAt(w).isLetterOrDigit || s.charAt(w) == '_')) w += 1
+        val word = s.substring(j, w).toLowerCase
+        if (depth == 0 && xorBoundaryKw(word)) { rhsEnd = j; done = true }
+        else j = w
+      } else j += 1
+    }
+    (lhsStart, rhsEnd)
+  }
 
   /** Position of the CASE opening the END whose last char sits at `endLast`,
     * tracking nested CASE…END blocks; -1 if unmatched. Word-extraction keeps
@@ -771,13 +868,35 @@ object GraftSql {
           "graft_infoschema_$1")
     }
     // per-relation column aliases (reference FlatColumn aliases=[...]):
-    // resolved only when the statement references the owning relation, so
-    // e.g. `planet_id` on an unrelated table is untouched
+    // resolved only when the statement references the owning relation. A
+    // dotted occurrence is rewritten ONLY when its qualifier is the virtual
+    // relation (or a FROM/JOIN alias of it) — a same-named column on
+    // another table in the join (`my_table.planet_id`) must stay untouched.
     graft.sources.VirtualDatasets.columnAliases.foldLeft(base) {
       case (s, (rel, aliases)) =>
-        if (!s.contains(graft.sources.VirtualDatasets.prefix + rel)) s
-        else aliases.foldLeft(s) { case (t, (alias, primary)) =>
-          mapOutsideLiterals(t)(_.replaceAll("(?i)\\b" + alias + "\\b", primary))
+        val view = graft.sources.VirtualDatasets.prefix + rel
+        if (!s.contains(view)) s
+        else {
+          val stop = Set("where", "on", "group", "order", "having", "limit",
+            "union", "intersect", "except", "join", "inner", "left", "right",
+            "full", "cross", "natural", "as", "using", "for", "qualify")
+          val quals = Set(view) ++
+            ("""(?i)\b(?:FROM|JOIN)\s+""" + view + """(?:\s+AS)?\s+(\w+)""").r
+              .findAllMatchIn(s).map(_.group(1))
+              .filterNot(w => stop(w.toLowerCase))
+          aliases.foldLeft(s) { case (t, (alias, primary)) =>
+            val qualified = replaceOutsideLiterals(
+              ("(?i)\\b(\\w+)\\.(" + alias + ")\\b").r, t) { m =>
+              if (quals(m.group(1))) m.group(1) + "." + primary else m.matched
+            }
+            // unqualified occurrences rewrite EXCEPT as an AS target — that
+            // is a user-chosen output name, not a reference to the column
+            replaceOutsideLiterals(
+              ("(?i)(?<![\\w.$])" + alias + "\\b").r, qualified) { m =>
+              val before = m.before.toString
+              if (before.matches("(?is).*\\bAS\\s+")) m.matched else primary
+            }
+          }
         }
     }
   }
@@ -869,7 +988,9 @@ object GraftSql {
 
   private val typedLiteralTarget = Map(
     "INTEGER" -> "INT", "NUMERIC" -> "DECIMAL", "REAL" -> "FLOAT",
-    "VARCHAR" -> "STRING", "BLOB" -> "BINARY")
+    // BLOB is STRING engine-wide (GraftBlob scaladoc): BLOB 'abc', blob(x)
+    // and CAST(x AS BLOB) must all land on the same type so they compare
+    "VARCHAR" -> "STRING", "BLOB" -> "STRING")
 
   private val extractRename = Map(
     "ISOYEAR" -> "YEAROFWEEK", "DAYOFYEAR" -> "DOY", "ISOWEEK" -> "WEEK",
@@ -1108,9 +1229,66 @@ object GraftSql {
       _.replaceAll("""(?i)\bVARCHAR\s*>""", "STRING>")
         .replaceAll("""(?i)\bBLOB\b(?!\s*\()""", "STRING")
     }
-    // infix XOR — boolean exclusive-or is exactly != on booleans
+    // CASE expressions mixing STRING-literal branches with bare TRUE/FALSE
+    // branches: Spark has no common type for STRING and BOOLEAN, but the
+    // reference is dynamically typed and renders the boolean as its string
+    // form. Wrap the bare booleans in CAST(... AS STRING) — only when the
+    // same CASE span actually mixes the two, so typed CASEs stay untouched.
+    s = replaceOutsideLiterals(
+      """(?is)\bCASE\b(?:[^']|'(?:[^']|'')*')*?\bEND\b""".r, s) { m =>
+      val span = m.matched
+      val hasStr = """(?is)\b(?:THEN|ELSE)\s+'""".r.findFirstIn(span).isDefined
+      val hasBool =
+        """(?i)\b(?:THEN|ELSE)\s+(?:TRUE|FALSE)\b""".r.findFirstIn(span).isDefined
+      if (hasStr && hasBool)
+        mapOutsideLiterals(span)(_.replaceAll(
+          """(?i)\b(THEN|ELSE)\s+(TRUE|FALSE)\b""", "$1 CAST($2 AS STRING)"))
+      else span
+    }
+    // INTERVAL '<n>' <unit> - <operand>: Spark's type calculus rejects an
+    // interval minuend, but the reference's kernel swaps the operands and
+    // negates (datatypes/intervals.py:141-150 — signum=-1, INTERVAL left
+    // swaps to right), i.e. it computes EXACTLY <operand> - INTERVAL, so
+    // this rewrite is value-identical, not an approximation.
+    s = replaceOutsideLiterals(
+      ("""(?i)\bINTERVAL\s+('[^']*')\s*((?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|""" +
+        """SECOND)S?)?\s*-\s*((?:TIMESTAMP|DATE)\s*'[^']*'""" +
+        """|[A-Za-z_][\w.]*(?:\(\s*\))?)""").r, s) { m =>
+      val unit = Option(m.group(2)).getOrElse("")
+      s"(${m.group(3)} - INTERVAL ${m.group(1)} $unit)"
+    }
+    // trailing comma before FROM (reference parser tolerates it —
+    // results corpus complex_005): never valid ANSI, so dropping is safe
     s = mapOutsideLiterals(s) {
-      _.replaceAll("""(?i)\bXOR\b(?!\s*\()""", "!=")
+      _.replaceAll("""(?i),\s*(?=FROM\b)""", " ")
+    }
+    // infix XOR — boolean exclusive-or is != on booleans, but a bare
+    // textual `!=` splice binds at comparison precedence (`a > 1 XOR b > 2`
+    // would parse as `((a > 1) != b) > 2`), so capture each operand out to
+    // its enclosing boolean boundary (OR / clause keyword / comma / paren;
+    // AND binds tighter than XOR, so it stays inside the operand) and emit
+    // a fully parenthesized `((lhs) != (rhs))`. A chain rewrites
+    // right-associatively over passes — XOR is associative, so equivalent.
+    s = {
+      var out = s
+      var guard = 0
+      var changed = true
+      while (changed && guard < 32) {
+        changed = false
+        guard += 1
+        val mask = literalMask(out)
+        val xorRe = """(?i)\bXOR\b(?!\s*\()""".r
+        xorRe.findAllMatchIn(out).find(m => !mask(m.start)).foreach { m =>
+          val (ls, rs) = xorOperandBounds(out, mask, m.start, m.end)
+          val lhs = out.substring(ls, m.start).trim
+          val rhs = out.substring(m.end, rs).trim
+          if (lhs.nonEmpty && rhs.nonEmpty) {
+            out = out.substring(0, ls) + s"(($lhs) != ($rhs))" + out.substring(rs)
+            changed = true
+          }
+        }
+      }
+      out
     }
     // CURRENT_TIME keyword (Spark 4 parses it into the unsupported TIME
     // type) → time-of-day string, matching the registered current_time()
@@ -1119,9 +1297,20 @@ object GraftSql {
         "date_format(current_timestamp(), 'HH:mm:ss')")
     }
     // MySQL-style @@session variables (reference power_bi corpus): every
-    // variable reads as a NULL string, keeping the projection shape
-    s = mapOutsideLiterals(s) {
-      _.replaceAll("""@@(\w+)""", "CAST(NULL AS STRING) AS $1")
+    // variable reads as a NULL string. The `AS name` alias is only legal —
+    // and only wanted — when the token is a bare select-list item; inside
+    // an expression (`WHERE @@x IS NULL`, `@@a = @@b`) it must stay a
+    // plain expression or the splice is a syntax error.
+    s = replaceOutsideLiterals("""@@(\w+)""".r, s) { m =>
+      val before = m.before.toString.replaceAll("""\s+$""", "")
+      val after = m.after.toString.replaceAll("""^\s+""", "")
+      val afterListItem = after.isEmpty || after.startsWith(",") ||
+        after.matches("(?is)(from|union|limit|order|group)\\b.*")
+      val beforeListItem = before.endsWith(",") ||
+        before.matches("(?is).*\\bselect(\\s+distinct)?")
+      if (beforeListItem && afterListItem)
+        s"CAST(NULL AS STRING) AS ${m.group(1)}"
+      else "CAST(NULL AS STRING)"
     }
     // GENERATE_SERIES over dates with a duration step: '1y'/'1mo'/'1w'/
     // '1d'/'1h' steps become intervals, bounds become dates

@@ -46,7 +46,9 @@ object DialectExpressions {
       val base = input.dataType match {
         case _: StructType | _: MapType | _: ArrayType =>
           ExtractValue(input, key, caseInsensitiveResolution)
-        case BinaryType =>
+        case BinaryType | NullType =>
+          // replacement is not re-analyzed, so GetJsonObject never gets an
+          // implicit cast — feed it STRING explicitly (NULL input → NULL out)
           GetJsonObject(Cast(input, StringType), jsonPath(key))
         case _ => GetJsonObject(input, jsonPath(key))
       }
@@ -72,7 +74,7 @@ object DialectExpressions {
       case _: ArrayType =>
         And(GreaterThanOrEqual(key, Literal(0)),
           LessThan(Cast(key, IntegerType), Size(input)))
-      case BinaryType =>
+      case BinaryType | NullType =>
         IsNotNull(GetJsonObject(Cast(input, StringType), jsonPath(key)))
       case _ => IsNotNull(GetJsonObject(input, jsonPath(key)))
     }
@@ -90,6 +92,10 @@ object DialectExpressions {
     override def children: Seq[Expression] = Seq(container, items)
     override def prettyName: String = "array_contains_all"
     override lazy val replacement: Expression = (container.dataType, items.dataType) match {
+      case (NullType, _) | (_, NullType) =>
+        // a NULL operand (not an empty array literal) yields NULL, and must
+        // not reach the Cast branches below (Cast to NullType is invalid)
+        Literal.create(null, BooleanType)
       case (_, ArrayType(NullType, _)) => Literal(true)
       case (ArrayType(NullType, _), _) =>
         // an untyped empty container holds only an empty items side
@@ -137,6 +143,12 @@ object DialectExpressions {
     override lazy val replacement: Expression =
       if (primary.dataType == fallback.dataType)
         Coalesce(Seq(primary, fallback))
+      else if (primary.dataType == NullType)
+        // `ifnull(NULL, x)`: coerce toward the fallback's type — Cast INTO
+        // NullType is unresolvable and would crash analysis
+        Coalesce(Seq(Cast(primary, fallback.dataType), fallback))
+      else if (fallback.dataType == NullType)
+        Coalesce(Seq(primary, Cast(fallback, primary.dataType)))
       else if (numeric(primary.dataType) && numeric(fallback.dataType))
         // post-TypeCoercion: widen by hand like GraftExtrema
         org.apache.spark.sql.catalyst.analysis.TypeCoercion
@@ -162,6 +174,10 @@ object DialectExpressions {
     override lazy val replacement: Expression = args match {
       case Seq(one) if one.dataType.isInstanceOf[ArrayType] =>
         if (greatest) ArrayMax(one) else ArrayMin(one)
+      case Seq(one) =>
+        // single scalar (incl. untyped NULL) — native Least/Greatest require
+        // two children, and the extremum of one value is itself
+        one
       case _ =>
         // replacement happens after the analyzer's TypeCoercion pass, so
         // mixed-width args (`greatest(bigint_col, 1)`) must be widened here
@@ -180,9 +196,11 @@ object DialectExpressions {
       copy(args = newChildren)
   }
 
-  /** SEARCH(x, term): case-insensitive containment — substring on text,
-    * member on arrays, any-value-contains on structs (serialized to JSON,
-    * matching the reference's struct search over serialized values). */
+  /** SEARCH(x, term): case-insensitive substring on text; exact (case-
+    * sensitive) membership on arrays and on struct VALUES — the reference's
+    * struct branch is `item in record.values()`
+    * (opteryx/functions/other_functions.py:77), so field names never match
+    * and partial values never match. Null records search as false. */
   case class GraftSearch(input: Expression, term: Expression)
       extends Expression with RuntimeReplaceable {
     override def children: Seq[Expression] = Seq(input, term)
@@ -190,11 +208,15 @@ object DialectExpressions {
     override lazy val replacement: Expression = input.dataType match {
       case ArrayType(_, _) =>
         ArrayContains(Cast(input, ArrayType(StringType)), Cast(term, StringType))
-      case _: StructType =>
-        Contains(
-          Lower(StructsToJson(Map.empty, input,
-            Some(SQLConf.get.sessionLocalTimeZone))),
-          Lower(Cast(term, StringType)))
+      case s: StructType =>
+        // exact membership over the struct's field values (stringified);
+        // coalesce → false matches the reference's null-record pre-filter
+        val values = s.fields.zipWithIndex.map { case (f, i) =>
+          Cast(GetStructField(input, i, Some(f.name)), StringType)
+        }
+        Coalesce(Seq(
+          ArrayContains(CreateArray(values.toIndexedSeq), Cast(term, StringType)),
+          Literal(false)))
       case _ =>
         Contains(Lower(Cast(input, StringType)), Lower(Cast(term, StringType)))
     }

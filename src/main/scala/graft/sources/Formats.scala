@@ -55,6 +55,11 @@ object Formats {
     else if (lower.endsWith(".feather") || lower.endsWith(".arrow")
       || lower.endsWith(".ipc")) readArrowIpc(spark, path)
     else if (lower.endsWith(".xlsx")) readXlsx(spark, path)
+    else if (!lower.split('/').last.contains('.'))
+      // extension-less leaf = a dataset DIRECTORY (reference: dataset names
+      // are disk paths — connectors/disk_connector.py reads the partition
+      // dir); parquet is the partition format
+      spark.read.parquet(path)
     else sys.error(s"unsupported format for $path (see SURVEY.md §2.5)")
   }
 

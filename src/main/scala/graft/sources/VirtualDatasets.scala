@@ -68,18 +68,21 @@ object VirtualDatasets {
         "surfacePressure", "numberOfMoons")
       .createOrReplaceTempView(s"${prefix}planets")
 
-    // Deterministic synthetic satellites keyed to planets (schema parity
-    // with reference satellite_data.py:44-58: camelCase planetId + the
-    // density/albedo columns; moons only orbit planets 3-9 as in the data).
-    spark.range(1, 178).selectExpr(
-      "CAST(id AS INT) AS id",
-      "CAST(3 + id % 7 AS INT) AS planetId",
-      "concat('sat_', id) AS name",
-      "round((id * 37 % 69216) / 7.0, 3) AS gm",
-      "round((id * 91 % 18417) / 7.0, 1) AS radius",
-      "round(0.5 + (id * 53 % 35) / 10.0, 2) AS density",
-      "round(-13.0 + (id * 13 % 400) / 10.0, 1) AS magnitude",
-      "round((id * 17 % 20) / 10.0, 2) AS albedo")
+    // The real 177-moon satellite table (public-domain NASA data via the
+    // devstronomy scraper — reference satellite_data.py:15-19 cites the
+    // same source), embedded as a classpath resource so joins and the
+    // golden-results tier match the reference's exact values. Schema parity
+    // with satellite_data.py:44-58: camelCase planetId, DOUBLE metrics.
+    val satRows = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/satellites.csv"), "UTF-8")
+      .getLines().drop(1).map { ln =>
+        val p = ln.split(",", -1)
+        def d(s: String): Option[Double] = if (s.isEmpty) None else Some(s.toDouble)
+        (p(0).toInt, p(1).toInt, p(2), p(3).toDouble, p(4).toDouble,
+          d(p(5)), d(p(6)), d(p(7)))
+      }.toSeq
+    satRows
+      .toDF("id", "planetId", "name", "gm", "radius", "density", "magnitude", "albedo")
       .createOrReplaceTempView(s"${prefix}satellites")
 
     // Deterministic synthetic astronauts (schema parity with reference

@@ -155,18 +155,26 @@ object DocumentStreams {
   def bandTable(docs: DataFrame): DataFrame = {
     val shingles = array_distinct(graft.Functions.wordShingles(
       split(lower(col("text")), "\\s+"), 3))
-    // docs too short for even one 3-word shingle emit NO bands: an all-null
+    // Docs too short for even one 3-word shingle emit NO bands: an all-null
     // signature would band every such doc into the constant md5('') bucket,
     // cross-matching all short docs (a spurious-candidate flood and a
-    // quadratic hot key on (band, bucket) at scale)
-    docs.select(col("doc_id"), shingles.as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        graft.functions.NativeExpressions.minhashSignature(col("sh"), 8).as("sig"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(3)), b => struct(
-          b.as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * 2 + 1, lit(2)))).as("bucket")))).as("bb"))
+    // quadratic hot key on (band, bucket) at scale). The exclusion is
+    // expressed through lambda bindings — NOT a separate .where(), which
+    // Catalyst pushes below the projection and re-inlines the shingle array
+    // into both Filter and Project, doubling the row-local kernel cost.
+    // `transform(array(x), v => …)` binds x to a lambda variable evaluated
+    // exactly once, so the shingle array and the 8-hash signature are each
+    // computed one time per row no matter how the optimizer collapses plans.
+    val bands = flatten(filter(
+      transform(array(shingles), sh =>
+        when(size(sh) > 0,
+          flatten(transform(
+            array(graft.functions.NativeExpressions.minhashSignature(sh, 8)),
+            sig => transform(sequence(lit(0), lit(3)), b => struct(
+              b.as("band"),
+              md5(concat_ws("|", slice(sig, b * 2 + 1, lit(2)))).as("bucket"))))))),
+      x => x.isNotNull))
+    docs.select(col("doc_id"), explode(bands).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 

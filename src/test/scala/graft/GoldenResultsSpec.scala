@@ -33,9 +33,14 @@ class GoldenResultsSpec extends AnyFunSuite {
     else if (n.isFloatingPointNumber) canonDouble(n.asDouble)
     else n.asText
 
-  private def canonDouble(d: Double): String =
-    if (!d.isInfinite && !d.isNaN && d == d.longValue.toDouble) d.longValue.toString
-    else d.toString
+  // 12 significant digits: float aggregation order (Spark's partial sums vs
+  // the reference's) legitimately moves the last ULP or two of an AVG —
+  // e.g. 1.4972 vs 1.4971999999999999 — without any semantic difference
+  private def canonDouble(d: Double): String = {
+    if (d.isInfinite || d.isNaN) return d.toString
+    val r = BigDecimal(d).round(new java.math.MathContext(12)).toDouble
+    if (r == r.longValue.toDouble) r.longValue.toString else r.toString
+  }
 
   private def canonCell(v: Any): String = v match {
     case null => "<null>"
@@ -51,6 +56,28 @@ class GoldenResultsSpec extends AnyFunSuite {
     .filter(_.getName.endsWith(".json")).sortBy(_.getName)
 
   assert(files.length >= 34, s"golden corpus shrank: ${files.length} files")
+
+  test("ref_manifest maps every reference results file to a present twin") {
+    val rows = scala.io.Source.fromFile(
+      new java.io.File(dir, "ref_manifest.tsv"), "UTF-8")
+      .getLines().filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map(_.split("\t")).toSeq
+    assert(rows.length == 34,
+      s"reference ships 34 .results_tests files; manifest has ${rows.length} rows")
+    rows.foreach { r =>
+      assert(r.length >= 3, s"malformed row: ${r.mkString("|")}")
+      val (twin, status) = (r(1), r(2))
+      assert(Set("exact", "adapted", "blocked")(status), s"bad status in ${r(0)}")
+      if (status != "blocked")
+        assert(new java.io.File(dir, twin).isFile, s"missing twin $twin for ${r(0)}")
+      else assert(r.length >= 4 && r(3).nonEmpty, s"blocked row ${r(0)} needs a note")
+    }
+    // every ported twin is manifest-tracked (promote-don't-rot)
+    val tracked = rows.map(_(1)).toSet
+    files.map(_.getName).filter(_.startsWith("ref_")).foreach { n =>
+      assert(tracked(n), s"golden twin $n has no ref_manifest row")
+    }
+  }
 
   files.foreach { f =>
     val spec = om.readTree(f)

@@ -394,4 +394,93 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(c == Seq("r_regionkey", "r_name"))
   }
+
+  test("infix XOR binds between AND and OR, not at comparison level") {
+    val r = g.query(
+      "SELECT TRUE XOR FALSE AS a, 2 > 1 XOR 3 > 4 AS b, " +
+        "TRUE AND TRUE XOR FALSE AS c, TRUE XOR FALSE XOR TRUE AS e, " +
+        "CASE WHEN 1 > 2 XOR 2 > 1 THEN 'y' ELSE 'n' END AS d")
+      .head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(!r.getBoolean(3))
+    assert(r.getString(4) == "y")
+    // XOR at OR-operand position: OR is the boundary on both sides
+    val or = g.query("SELECT FALSE OR TRUE XOR TRUE OR FALSE AS v").head()
+    assert(!or.getBoolean(0))
+    // inside a WHERE over a relation
+    val w = g.query(
+      "SELECT id FROM $planets WHERE id > 7 XOR id < 3 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(w == Seq(1, 2, 8, 9))
+    // the word inside a string literal is content
+    assert(g.query("SELECT 'a XOR b' AS v").head().getString(0) == "a XOR b")
+  }
+
+  test("b/r literal prefixes strip only outside string literals") {
+    val r = g.query(
+      "SELECT 'a b''c'' d' AS s, b'abc' AS t, r'x.d' AS u, 'B b' AS w").head()
+    assert(r.getString(0) == "a b'c' d")
+    assert(r.getString(1) == "abc")
+    assert(r.getString(2) == "x.d")
+    assert(r.getString(3) == "B b")
+  }
+
+  test("@@vars: aliased as bare select items, plain expressions elsewhere") {
+    val bare = g.query("SELECT @@version, @@autocommit")
+    assert(bare.columns.toSeq == Seq("version", "autocommit"))
+    assert(bare.head().isNullAt(0))
+    val expr = g.query(
+      "SELECT CASE WHEN @@autocommit IS NULL THEN 'null' ELSE 'set' END AS w")
+    assert(expr.head().getString(0) == "null")
+    assert(g.query("SELECT 1 AS v WHERE @@a = @@b").count() == 0)
+  }
+
+  test("unquoted hyphenated identifier chains resolve as path tables") {
+    val dir = new java.io.File("target/hyph-fixture")
+    spark.range(5).selectExpr("id AS v").write.mode("overwrite").parquet(dir.getPath)
+    assert(g.query("SELECT count(*) AS n FROM target.hyph-fixture")
+      .head().getLong(0) == 5)
+    // ordinary dotted names and spaced arithmetic never match
+    assert(g.query("SELECT count(*) AS n FROM $planets WHERE id - 1 > 7")
+      .head().getLong(0) == 1)
+  }
+
+  test("INTERVAL minuend swaps to the reference's operand-minus-interval form") {
+    val r = g.query(
+      "SELECT INTERVAL '1' DAY - TIMESTAMP '2024-01-02 00:00:00' = TIMESTAMP '2024-01-01 00:00:00' AS v, " +
+        "INTERVAL '2' HOUR - current_timestamp < current_timestamp AS w").head()
+    assert(r.getBoolean(0))
+    assert(r.getBoolean(1))
+    // interval-on-the-right stays native
+    val n = g.query(
+      "SELECT TIMESTAMP '2024-01-02 00:00:00' - INTERVAL '1' DAY = TIMESTAMP '2024-01-01 00:00:00' AS v").head()
+    assert(n.getBoolean(0))
+  }
+
+  test("CASE branches mixing string literals and bare booleans widen to STRING") {
+    val r = g.query(
+      "SELECT CASE WHEN id > 0 THEN 'TRUE' ELSE FALSE END AS result FROM $planets LIMIT 1")
+    assert(r.head().getString(0) == "TRUE")
+    assert(g.query("SELECT CASE WHEN 1 = 2 THEN 'x' ELSE FALSE END AS v")
+      .head().getString(0) == "false")
+    // an all-boolean CASE keeps its BOOLEAN type
+    val b = g.query("SELECT CASE WHEN 1 = 1 THEN TRUE ELSE FALSE END AS v")
+    assert(b.schema.head.dataType == org.apache.spark.sql.types.BooleanType)
+  }
+
+  test("virtual column aliases rewrite only the owning relation's qualifier") {
+    val earthSats = g.query(
+      "SELECT COUNT(*) AS n FROM $satellites WHERE planetId = 3").head().getLong(0)
+    assert(earthSats > 0)
+    // s.planet_id resolves via the satellites alias; p.id is untouched
+    val joined = g.query(
+      "SELECT COUNT(*) AS n FROM $planets p JOIN $satellites s ON p.id = s.planet_id WHERE p.name = 'Earth'")
+    assert(joined.head().getLong(0) == earthSats)
+    // a same-named column on ANOTHER table must not be renamed: build a
+    // temp view carrying planet_id and join it with $satellites
+    spark.sql("SELECT 3 AS planet_id").createOrReplaceTempView("my_probe")
+    val other = g.query(
+      "SELECT COUNT(*) AS n FROM my_probe JOIN $satellites s ON my_probe.planet_id = s.planetId")
+    assert(other.head().getLong(0) == earthSats)
+  }
 }

@@ -373,6 +373,23 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "no cartesian product — the query subset rides a broadcast")
   }
 
+  test("p84 banding kernel: shingle array and signature computed once per scan") {
+    // r10 regression class: the shingle-less-doc exclusion as a separate
+    // .where() was pushed below the projection, re-inlining the shingle
+    // kernel into both Filter and Project (2.4x row-local tax on p84 AND
+    // the streaming ingest screen). The lambda-bound spelling keeps one
+    // occurrence; this pins it.
+    val docs = Tables.df(spark, SharedSpark.sf, "documents")
+    val bands = graft.streaming.DocumentStreams.bandTable(docs)
+    val plan = planOf(bands).toString
+    def count(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    assert(count(plan, "minhash_signature") == 1,
+      s"minhash signature must be computed exactly once, plan:\n$plan")
+    assert(count(plan, "array_distinct") == 1,
+      s"the shingle array must be computed exactly once, plan:\n$plan")
+  }
+
   test("p56 (product quantization): coding is map-only — codebooks broadcast") {
     val nodes = collectAll(planOf(run("p56_product_quantization")))
     assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),

@@ -13,9 +13,12 @@ import org.apache.spark.sql.SparkSession
   *   - testdata.tpch_tiny.<t>  → the sf0.001 TPC-H views (same schemas)
   *   - testdata.clickbench_tiny → a hits-schema view derived from events
   *   - testdata.astronauts      → $astronauts
-  * `testdata.partitioned.nulls` and `testdata.hyphened-name` have no
-  * equivalent fixture here (reference-repo-specific files) and are
-  * documented-unsupported in manifest.tsv.
+  *   - testdata.hyphened-name   → $astronauts (the reference fixture dir
+  *     holds astronauts.parquet; the hyphenated-identifier DIALECT path is
+  *     engine-supported — GraftSql.hyphenPathTable — and spec-covered in
+  *     GraftSqlSpec, so only the fixture is mapped here)
+  * `testdata.partitioned.nulls` has no equivalent fixture here
+  * (reference-repo-specific files).
   */
 object ReferenceCorpus {
 
@@ -41,6 +44,8 @@ object ReferenceCorpus {
     .replaceAll("(?i)\\btestdata\\.clickbench_tiny\\b", "clickbench_tiny")
     .replaceAll("(?i)\\btestdata\\.partitioned\\.nulls\\b", "partitioned_nulls")
     .replaceAll("(?i)\\btestdata\\.astronauts\\b",
+      java.util.regex.Matcher.quoteReplacement("$astronauts"))
+    .replaceAll("(?i)\\btestdata\\.hyphened-name\\b",
       java.util.regex.Matcher.quoteReplacement("$astronauts"))
 
   /** hits-schema view (public ClickBench schema: the column names/types the
