@@ -85,44 +85,35 @@ object VirtualDatasets {
       .toDF("id", "planetId", "name", "gm", "radius", "density", "magnitude", "albedo")
       .createOrReplaceTempView(s"${prefix}satellites")
 
-    // Deterministic synthetic astronauts (schema parity with reference
-    // astronaut_data.py:51-69: `year`/`group` ints, struct birth_place
-    // {town, state}, VARCHAR arrays alma_mater/missions, DATE birth/death).
-    spark.range(1, 358).selectExpr(
-      "concat('astronaut_', id) AS name",
-      "CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(1959 + (id % 19) * 2 AS INT) END AS year",
-      "CASE WHEN id % 9 = 0 THEN NULL ELSE CAST(1 + id % 22 AS INT) END AS `group`",
-      "CASE WHEN id % 11 = 0 THEN 'Deceased' WHEN id % 3 = 0 THEN 'Active' ELSE 'Retired' END AS status",
-      "date_add(DATE'1930-01-01', CAST(id * 37 % 14600 AS INT)) AS birth_date",
-      "named_struct('town', concat('town_', id % 83), 'state', " +
-        "CASE WHEN id % 4 = 0 THEN NULL ELSE substr('CAFLTXOHNYWAPANJMIINMAVA', 1 + (id % 12) * 2, 2) END) AS birth_place",
-      "CASE WHEN id % 8 = 0 THEN 'Female' ELSE 'Male' END AS gender",
-      "CASE WHEN id % 13 = 0 THEN NULL ELSE array(concat('university_', id % 41), concat('college_', id % 17)) END AS alma_mater",
-      "concat('major_', id % 29) AS undergraduate_major",
-      "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('grad_major_', id % 23) END AS graduate_major",
-      "CASE WHEN id % 3 = 0 THEN concat('rank_', id % 7) ELSE NULL END AS military_rank",
-      "CASE WHEN id % 3 = 0 THEN elt(1 + CAST(id % 4 AS INT), 'US Air Force', 'US Navy', 'US Army', 'US Marine Corps') ELSE NULL END AS military_branch",
-      "CAST(id % 7 AS INT) AS space_flights",
-      "CAST((id * 97) % 4000 AS INT) AS space_flight_hours",
-      "CAST(id % 5 AS INT) AS space_walks",
-      "CAST((id * 31) % 90 AS INT) AS space_walks_hours",
-      "CASE WHEN id % 7 = 0 THEN NULL ELSE transform(sequence(1, 1 + CAST(id % 3 AS INT)), m -> concat('mission_', (id + m) % 100)) END AS missions",
-      "CASE WHEN id % 11 = 0 THEN date_add(DATE'1967-01-27', CAST(id * 53 % 18000 AS INT)) ELSE NULL END AS death_date",
-      "CASE WHEN id % 11 = 0 AND id % 2 = 0 THEN concat('mission_', id % 100) ELSE NULL END AS death_mission")
+    // The real 357-astronaut table (public NASA astronaut fact data — the
+    // reference embeds the same dataset, astronaut_data.py), as a JSONL
+    // resource parsed against the reference's exact schema
+    // (astronaut_data.py:51-69: INTEGER year/group/counters, DATE
+    // birth/death, STRUCT birth_place, VARCHAR arrays).
+    val astroSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "name STRING, year INT, `group` INT, status STRING, birth_date DATE, " +
+        "birth_place STRUCT<state: STRING, town: STRING>, gender STRING, " +
+        "alma_mater ARRAY<STRING>, undergraduate_major STRING, " +
+        "graduate_major STRING, military_rank STRING, military_branch STRING, " +
+        "space_flights INT, space_flight_hours INT, space_walks INT, " +
+        "space_walks_hours INT, missions ARRAY<STRING>, death_date DATE, " +
+        "death_mission STRING")
+    val astroLines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/astronauts.jsonl"), "UTF-8")
+      .getLines().toSeq
+    spark.read.schema(astroSchema).json(astroLines.toDS())
       .createOrReplaceTempView(s"${prefix}astronauts")
 
-    // Deterministic synthetic launches (schema parity with reference
-    // missions.py:44-51 — note the reference's misspelled `Lauched_at`
-    // primary with `Launched_at` as the alias).
-    spark.range(1, 4631).selectExpr(
-      "elt(1 + CAST(id % 8 AS INT), 'SpaceX', 'NASA', 'Roscosmos', 'CASC', 'ULA', 'Arianespace', 'ISRO', 'Rocket Lab') AS Company",
-      "concat('site_', id % 37) AS Location",
-      "CASE WHEN id % 3 = 0 THEN NULL ELSE round(5.0 + (id * 29 % 4500) / 10.0, 2) END AS Price",
-      "timestampadd(HOUR, CAST(id * 7 % 550000 AS INT), TIMESTAMP'1957-10-04 00:00:00') AS Lauched_at",
-      "concat('rocket_', id % 211) AS Rocket",
-      "CASE WHEN id % 4 = 0 THEN 'Retired' ELSE 'Active' END AS Rocket_Status",
-      "concat('mission_', id) AS Mission",
-      "CASE WHEN id % 23 = 0 THEN 'Partial Failure' WHEN id % 11 = 0 THEN 'Failure' ELSE 'Success' END AS Mission_Status")
+    // The real 4,630-launch table (public launch-log data — the reference
+    // embeds the same dataset, missions.py; note its misspelled
+    // `Lauched_at` primary with `Launched_at` as the alias).
+    val missionSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "Company STRING, Location STRING, Price DOUBLE, Lauched_at TIMESTAMP, " +
+        "Rocket STRING, Rocket_Status STRING, Mission STRING, Mission_Status STRING")
+    val missionLines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/missions.jsonl"), "UTF-8")
+      .getLines().toSeq
+    spark.read.schema(missionSchema).json(missionLines.toDS())
       .createOrReplaceTempView(s"${prefix}missions")
 
     // $no_table: the implicit one-row relation behind table-less SELECTs.
