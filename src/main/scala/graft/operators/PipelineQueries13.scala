@@ -106,8 +106,15 @@ object PipelineQueries13 {
         .crossJoin(broadcast(nn))
         .select(col("tk"),
           (log((col("n").cast("double") + 1) / (col("dfreq") + 1)) + 1).as("idf"))
+      // the weight frame feeds THREE consumers (norms, the query postings,
+      // and the corpus side of the pairing join) — without a checkpoint
+      // each consumer re-runs tokenize→tf→idf→join from the scan, which at
+      // 100 TB is three redundant corpus reads (and 34 exchanges in the
+      // audited plan). localCheckpoint materializes it once, same pattern
+      // as p62's feature frame.
       val w = tf.join(idf, "tk")
         .select(col("doc_id"), col("tk"), (col("tf") * col("idf")).as("w"))
+        .localCheckpoint()
       val nrm = w.groupBy(col("doc_id"))
         .agg(sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(38,9)"))
           .cast("double")).as("nrm"))

@@ -199,6 +199,13 @@ object PipelineQueries16 {
       val shArr = array_distinct(transform(
         sequence(lit(1), greatest(size(col("t")) - 2, lit(0))),
         i => concat_ws(" ", slice(col("t"), i, lit(3)))))
+      // NOTE: no localCheckpoint here, deliberately — the three band
+      // configs reference IDENTICAL sh/inter/sig subtrees, and Spark's
+      // ReuseExchange already deduplicates identical exchange subtrees
+      // within the one plan (measured: checkpointing these was 26% SLOWER
+      // at 10x than letting the reuse rule share them). p61's frame needed
+      // the checkpoint because its consumers sit in SEPARATE plans after
+      // the broadcast boundary; these don't.
       val sh = docs.select(col("doc_id"), explode(shArr).as("shingle"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
       // shared-shingle candidate superset: every banded config's pair set
