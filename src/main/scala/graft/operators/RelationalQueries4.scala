@@ -96,18 +96,25 @@ object RelationalQueries4 {
              CAST(min(depth) AS INTEGER) AS first_depth,
              CAST(count(*) AS BIGINT) AS n_visits
       FROM walk GROUP BY nk ORDER BY n_nationkey""")) { (s, dir) =>
-      Tables.df(s, dir, "nation").createOrReplaceTempView("nation")
-      s.sql("""
-        WITH RECURSIVE walk(nk, depth) AS (
-          SELECT CAST(0 AS BIGINT) AS nk, 0 AS depth
-          UNION ALL
-          SELECT CAST(n.n_nationkey AS BIGINT), w.depth + 1
-          FROM walk w JOIN nation n ON n.n_nationkey = (2 * w.nk + 1) % 25
-          WHERE w.depth < 30)
-        SELECT nk AS n_nationkey,
-               CAST(min(depth) AS INT) AS first_depth,
-               CAST(count(*) AS BIGINT) AS n_visits
-        FROM walk GROUP BY nk ORDER BY n_nationkey""")
+      // frontier-bounded recursion (≤25 rows at any scale) → the driver-
+      // paced strategy: one short job per iteration instead of native
+      // UnionLoop's ~5 (q96 was 154 sequential jobs of pure scheduling
+      // floor). Native WITH RECURSIVE stays spec-pinned in RecursionSpec.
+      // the walked dimension is materialized once — 31 step jobs re-reading
+      // the same 25-row parquet is pure I/O floor
+      val nation = Tables.df(s, dir, "nation").localCheckpoint()
+      val base = s.range(1).select(
+        lit(0L).as("nk"), lit(0).as("depth"))
+      val walk = Recursion.unionAll(base, frontier =>
+        frontier.filter(col("depth") < 30)
+          .join(nation, col("n_nationkey") === (lit(2) * col("nk") + 1) % 25)
+          .select(col("n_nationkey").cast("long").as("nk"),
+            (col("depth") + 1).as("depth")),
+        maxIter = 30)
+      walk.groupBy(col("nk").as("n_nationkey"))
+        .agg(min(col("depth")).cast("int").as("first_depth"),
+          count(lit(1)).as("n_visits"))
+        .orderBy(col("n_nationkey"))
     },
 
     // ------------------ predicate range compaction (q97)
