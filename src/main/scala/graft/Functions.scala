@@ -177,6 +177,29 @@ object Functions {
   lazy val kmvEst: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(kmvAgg(64))
 
+  /** The retained k-minimum hash set ITSELF (ascending), instead of the
+    * finished estimate — for explicit sketch algebra across corpus cuts
+    * (p103): the k smallest of a union of complete k-minimum sets is the
+    * k-minimum set of the union, so per-cut sketches merge exactly. Same
+    * buffer discipline as [[kmvAgg]]: O(k) map-side state, associative
+    * merge. */
+  def kmvSketchAgg(k: Int): Aggregator[String, Seq[String], Seq[String]] =
+    new Aggregator[String, Seq[String], Seq[String]] {
+      private val inner = kmvAgg(k)
+      def zero: Seq[String] = inner.zero
+      def reduce(b: Seq[String], a: String): Seq[String] = inner.reduce(b, a)
+      def merge(x: Seq[String], y: Seq[String]): Seq[String] = inner.merge(x, y)
+      def finish(b: Seq[String]): Seq[String] = b
+      def bufferEncoder =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+      def outputEncoder =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    }
+
+  /** [[kmvSketchAgg]] at the library-default k=64. */
+  lazy val kmvSketch: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(kmvSketchAgg(64))
+
   // ------------------------------------------------------------ registration
 
   /** Register the reference's non-built-in SQL spellings on a session. */

@@ -1277,8 +1277,29 @@ object GraftSql {
         changed = false
         guard += 1
         val mask = literalMask(out)
-        val xorRe = """(?i)\bXOR\b(?!\s*\()""".r
-        xorRe.findAllMatchIn(out).find(m => !mask(m.start)).foreach { m =>
+        // infix iff an OPERAND ends immediately before the keyword (word,
+        // ')', ']' or a literal); otherwise it is the registered xor(a,b)
+        // function in call position — `TRUE XOR (x)` is infix even though
+        // a '(' follows, `SELECT xor(1,0)` / `a AND xor(1,0)` are calls
+        def operandEndsBefore(pos: Int): Boolean = {
+          var p = pos - 1
+          while (p >= 0 && out.charAt(p).isWhitespace) p -= 1
+          if (p < 0) false
+          else {
+            val c = out.charAt(p)
+            if (c == ')' || c == ']' || c == '\'') true
+            else if (c.isLetterOrDigit || c == '_') {
+              var w = p
+              while (w >= 0 && (out.charAt(w).isLetterOrDigit || out.charAt(w) == '_')) w -= 1
+              !xorBoundaryKw(out.substring(w + 1, p + 1).toLowerCase) &&
+                !Set("and", "or", "not", "in", "between", "like")(
+                  out.substring(w + 1, p + 1).toLowerCase)
+            } else false
+          }
+        }
+        val xorRe = """(?i)\bXOR\b""".r
+        xorRe.findAllMatchIn(out)
+          .find(m => !mask(m.start) && operandEndsBefore(m.start)).foreach { m =>
           val (ls, rs) = xorOperandBounds(out, mask, m.start, m.end)
           val lhs = out.substring(ls, m.start).trim
           val rhs = out.substring(m.end, rs).trim

@@ -78,7 +78,7 @@ object ScaleCheck {
     "p94_cross_source_dup_matrix",
     "p95_component_safe_split", "p96_dedup_quality_gap", "p97_prefix_families",
     "p98_quality_drift", "p99_ivf_probe_sweep", "p100_video_frame_dedup",
-    "p101_data_map")
+    "p101_data_map", "p102_hybrid_rrf", "p103_kmv_union")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

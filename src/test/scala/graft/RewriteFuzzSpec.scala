@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded differential fuzz for GraftSql's string-surgery rewrites (XOR
+  * operand capture, literal-prefix stripping, comment stripping, @@vars,
+  * literal masking). The advisor's round-over-round findings have all been
+  * in this layer — a regex seeing through a quote boundary, a splice
+  * binding at the wrong precedence — so the fuzz generates statements
+  * whose ground truth is computed on the Scala AST and asserts the engine
+  * agrees, with hazard tokens (escaped quotes, `XOR`, `-- `, `->`, `@@`,
+  * `b'`) embedded inside string literals where no rewrite may touch them.
+  */
+class RewriteFuzzSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  private lazy val g = Graft(spark)
+
+  // ---- boolean expression AST with MySQL-style precedence in the emitted
+  // SQL: OR < XOR < AND < NOT < comparison. Emission parenthesizes a child
+  // only when its precedence is LOWER than the parent requires, so the
+  // text exercises the engine's precedence handling rather than hiding it
+  // behind full parens.
+  private sealed trait B { def eval: Boolean; def prec: Int; def sql: String }
+  private case class Lit(b: Boolean) extends B {
+    def eval = b; def prec = 9; def sql = if (b) "TRUE" else "FALSE"
+  }
+  private case class Cmp(a: Int, c: Int, op: String) extends B {
+    def eval = op match {
+      case ">" => a > c case "<" => a < c case "=" => a == c
+      case "<>" => a != c case ">=" => a >= c case "<=" => a <= c
+    }
+    def prec = 5; def sql = s"$a $op $c"
+  }
+  private case class Not(x: B) extends B {
+    def eval = !x.eval; def prec = 4
+    def sql = s"NOT ${wrap(x, 4)}"
+  }
+  private case class And(l: B, r: B) extends B {
+    def eval = l.eval && r.eval; def prec = 3
+    def sql = s"${wrap(l, 3)} AND ${wrap(r, 3)}"
+  }
+  private case class Xor(l: B, r: B) extends B {
+    def eval = l.eval ^ r.eval; def prec = 2
+    def sql = s"${wrap(l, 2)} XOR ${wrap(r, 2)}"
+  }
+  private case class Or(l: B, r: B) extends B {
+    def eval = l.eval || r.eval; def prec = 1
+    def sql = s"${wrap(l, 1)} OR ${wrap(r, 1)}"
+  }
+  private def wrap(x: B, need: Int): String =
+    if (x.prec < need) s"(${x.sql})" else x.sql
+
+  private def gen(rnd: scala.util.Random, depth: Int): B =
+    if (depth == 0 || rnd.nextInt(4) == 0) {
+      if (rnd.nextBoolean()) Lit(rnd.nextBoolean())
+      else Cmp(rnd.nextInt(5), rnd.nextInt(5),
+        Seq(">", "<", "=", "<>", ">=", "<=")(rnd.nextInt(6)))
+    } else rnd.nextInt(4) match {
+      case 0 => Not(gen(rnd, depth - 1))
+      case 1 => And(gen(rnd, depth - 1), gen(rnd, depth - 1))
+      case 2 => Xor(gen(rnd, depth - 1), gen(rnd, depth - 1))
+      case _ => Or(gen(rnd, depth - 1), gen(rnd, depth - 1))
+    }
+
+  // hazard fragments that have each broken (or nearly broken) a rewrite:
+  // every one must survive INSIDE a string literal untouched
+  private val hazards = Seq(
+    "a b''c'' d", "x XOR y", "-- not a comment", "a -> 1", "b''r''",
+    "@@version", "INTERVAL ''1'' DAY - ts", "NOT 1 = 2", "r''raw''",
+    "FROM t,", "CASE WHEN x THEN ''y'' ELSE FALSE END", "planet_id")
+
+  test("300 seeded statements: XOR precedence + masked literals agree with the AST") {
+    val rnd = new scala.util.Random(20260814L)
+    var xorCount = 0
+    (1 to 300).foreach { i =>
+      val ast = gen(rnd, 3)
+      if (ast.sql.contains("XOR")) xorCount += 1
+      val hazard = hazards(rnd.nextInt(hazards.length))
+      val sql = s"SELECT ${ast.sql} AS v, '$hazard' AS s"
+      val row =
+        try g.query(sql).head()
+        catch {
+          case e: Throwable =>
+            fail(s"[case $i] query failed: $sql\n${e.getMessage.take(300)}")
+        }
+      assert(row.getBoolean(0) == ast.eval,
+        s"[case $i] value mismatch for: $sql (expected ${ast.eval})")
+      assert(row.getString(1) == hazard.replace("''", "'"),
+        s"[case $i] literal corrupted for: $sql")
+    }
+    // the generator must actually exercise the XOR splice path
+    assert(xorCount >= 60, s"only $xorCount/300 cases contained XOR")
+  }
+
+  test("XOR inside clause contexts: WHERE, CASE, nested parens, multi-statement") {
+    val rnd = new scala.util.Random(42L)
+    (1 to 60).foreach { i =>
+      val ast = gen(rnd, 2)
+      val expected = ast.eval
+      // WHERE: row survives iff the predicate is true
+      val n = g.query(s"SELECT 1 AS v WHERE ${ast.sql}").count()
+      assert((n == 1) == expected, s"[where $i] ${ast.sql}")
+      // CASE: same expression as a searched-CASE condition
+      val c = g.query(s"SELECT CASE WHEN ${ast.sql} THEN 'y' ELSE 'n' END AS v").head()
+      assert((c.getString(0) == "y") == expected, s"[case $i] ${ast.sql}")
+      // trailing semicolon form (multi-statement scanner boundary)
+      val t = g.query(s"SELECT ${ast.sql} AS v;").head()
+      assert(t.getBoolean(0) == expected, s"[semi $i] ${ast.sql}")
+    }
+  }
+}
