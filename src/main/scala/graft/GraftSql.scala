@@ -325,12 +325,15 @@ object GraftSql {
       paths += m.group(2)
       Matcher.quoteReplacement(s"${m.group(1)} ${viewNameFor(m.group(2))}")
     })
-    rewritten = hyphenPathTable.replaceAllIn(rewritten, m => {
-      val chain = m.group(2).stripSuffix(".").stripSuffix("-")
-      val path = chain.replace('.', '/')
-      paths += path
-      Matcher.quoteReplacement(s"${m.group(1)} ${viewNameFor(path)}")
-    })
+    val mask = literalMask(rewritten)
+    rewritten = hyphenPathTable.replaceAllIn(rewritten, m =>
+      if (m.start < mask.length && mask(m.start)) m.matched
+      else {
+        val chain = m.group(2).stripSuffix(".").stripSuffix("-")
+        val path = chain.replace('.', '/')
+        paths += path
+        Matcher.quoteReplacement(s"${m.group(1)} ${viewNameFor(path)}")
+      })
     (rewritten, paths.toSeq)
   }
 
@@ -1253,7 +1256,9 @@ object GraftSql {
     s = replaceOutsideLiterals(
       ("""(?i)\bINTERVAL\s+('[^']*')\s*((?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|""" +
         """SECOND)S?)?\s*-\s*((?:TIMESTAMP|DATE)\s*'[^']*'""" +
-        """|[A-Za-z_][\w.]*(?:\(\s*\))?)""").r, s) { m =>
+        """|(?!INTERVAL\b)[A-Za-z_][\w.]*(?:\(\s*\))?)""").r, s) { m =>
+      // INTERVAL - INTERVAL is valid native arithmetic and excluded above;
+      // only the timestamp/date/column minuend needs the reference's swap
       val unit = Option(m.group(2)).getOrElse("")
       s"(${m.group(3)} - INTERVAL ${m.group(1)} $unit)"
     }

@@ -445,6 +445,17 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 1)
   }
 
+  test("hyphen chains inside string literals are content, not path tables") {
+    assert(g.query("SELECT 'FROM testdata.hyphened-name' AS s")
+      .head().getString(0) == "FROM testdata.hyphened-name")
+  }
+
+  test("INTERVAL - INTERVAL stays native arithmetic") {
+    val r = g.query(
+      "SELECT INTERVAL '3' DAY - INTERVAL '2' DAY = INTERVAL '1' DAY AS v").head()
+    assert(r.getBoolean(0))
+  }
+
   test("INTERVAL minuend swaps to the reference's operand-minus-interval form") {
     val r = g.query(
       "SELECT INTERVAL '1' DAY - TIMESTAMP '2024-01-02 00:00:00' = TIMESTAMP '2024-01-01 00:00:00' AS v, " +
