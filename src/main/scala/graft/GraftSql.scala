@@ -347,7 +347,8 @@ object GraftSql {
   // identifier / call-chain tail. replaceOutsideLiterals checks the match
   // START, and literalMask excludes the opening quote, so a literal LHS
   // still rewrites while content inside other literals stays untouched.
-  private val atQuestion = """('(?:[^']|'')*'|[\w.\)\]]+)\s*@\?\s*'([^']+)'""".r
+  private val atQuestion =
+    """('(?:[^']|'')*'|[\w.\)\]]+)\s*@\?\s*(?:'([^']+)'|(\d+))""".r
   private val atArrow = """('(?:[^']|'')*'|[\w.\)\]]+)\s*@>\s*'(\{[^']*\})'""".r
 
   /** `col @> '{"k":1,"s":"x"}'` (JSONB containment, reference AtArrow at
@@ -377,7 +378,9 @@ object GraftSql {
       // plain function call also composes with a following IS [NOT] NULL,
       // which the old `... IS NOT NULL` splice could not parse
       s = replaceOutsideLiterals(atQuestion, s)(m =>
-        s"graft_exists(${m.group(1)}, '${m.group(2).replace("'", "''")}')")
+        // group 2 = quoted key, group 3 = bare integer subscript
+        if (m.group(3) != null) s"graft_exists(${m.group(1)}, ${m.group(3)})"
+        else s"graft_exists(${m.group(1)}, '${m.group(2).replace("'", "''")}')")
     if (s.contains("->")) s = rewriteArrowOps(s)
     s
   }
