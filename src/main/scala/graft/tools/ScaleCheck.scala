@@ -78,7 +78,9 @@ object ScaleCheck {
     "p94_cross_source_dup_matrix",
     "p95_component_safe_split", "p96_dedup_quality_gap", "p97_prefix_families",
     "p98_quality_drift", "p99_ivf_probe_sweep", "p100_video_frame_dedup",
-    "p101_data_map", "p102_hybrid_rrf", "p103_kmv_union")
+    "p101_data_map", "p102_hybrid_rrf", "p103_kmv_union",
+    "p104_span_keep_first", "p105_containment_dedup",
+    "p106_gopher_repetition", "p107_ppl_buckets")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
