@@ -80,7 +80,8 @@ object ScaleCheck {
     "p98_quality_drift", "p99_ivf_probe_sweep", "p100_video_frame_dedup",
     "p101_data_map", "p102_hybrid_rrf", "p103_kmv_union",
     "p104_span_keep_first", "p105_containment_dedup",
-    "p106_gopher_repetition", "p107_ppl_buckets")
+    "p106_gopher_repetition", "p107_ppl_buckets",
+    "p108_block_lm_trim", "p109_event_window_dedup", "p110_centroid_outliers")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
