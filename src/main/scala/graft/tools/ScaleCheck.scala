@@ -81,7 +81,9 @@ object ScaleCheck {
     "p101_data_map", "p102_hybrid_rrf", "p103_kmv_union",
     "p104_span_keep_first", "p105_containment_dedup",
     "p106_gopher_repetition", "p107_ppl_buckets",
-    "p108_block_lm_trim", "p109_event_window_dedup", "p110_centroid_outliers")
+    "p108_block_lm_trim", "p109_event_window_dedup", "p110_centroid_outliers",
+    "p111_dsir_importance", "p112_mad_outliers", "p113_cms_heavy_hitters",
+    "p114_kcenter_coreset")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

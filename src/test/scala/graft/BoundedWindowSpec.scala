@@ -50,6 +50,8 @@ class BoundedWindowSpec extends AnyFunSuite {
       "Heaps curve cumulates over the 10-row decile frame"),
     "p85_quality_ensemble" -> (65536L,
       "decile boundaries come from the value-domain-bounded score histogram"),
+    "p108_block_lm_trim" -> (65536L,
+      "P10 cut cumulates over the 6dp-gridded block-score histogram — value-domain-bounded (avg of 10 ln-probs in a fixed range), the p85/p64 class"),
     "q15_join_theta" -> (4096L,
       "banded decomposition: the window sits over a ≤K-rows-per-band frame (BandedThetaJoin)"),
     "q69_tpch_q15" -> (1024L,
