@@ -83,7 +83,9 @@ object ScaleCheck {
     "p106_gopher_repetition", "p107_ppl_buckets",
     "p108_block_lm_trim", "p109_event_window_dedup", "p110_centroid_outliers",
     "p111_dsir_importance", "p112_mad_outliers", "p113_cms_heavy_hitters",
-    "p114_kcenter_coreset")
+    "p114_kcenter_coreset",
+    "p115_fuzzy_match", "p116_dq_rules", "p117_shard_manifest",
+    "p118_cluster_purity")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
