@@ -48,6 +48,8 @@ class BoundedWindowSpec extends AnyFunSuite {
       "temperature normalization runs over the one-row-per-language frame"),
     "p83_vocab_growth" -> (64L,
       "Heaps curve cumulates over the 10-row decile frame"),
+    "p121_heaps_fit" -> (64L,
+      "OLS cumulations run over the 10-row decile frame — the p83 class"),
     "p85_quality_ensemble" -> (65536L,
       "decile boundaries come from the value-domain-bounded score histogram"),
     "p108_block_lm_trim" -> (65536L,
