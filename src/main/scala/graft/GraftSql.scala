@@ -890,6 +890,39 @@ object GraftSql {
             ("""(?i)\b(?:FROM|JOIN)\s+""" + view + """(?:\s+AS)?\s+(\w+)""").r
               .findAllMatchIn(s).map(_.group(1))
               .filterNot(w => stop(w.toLowerCase))
+          // an UNQUALIFIED alias rewrites only when the virtual view is the
+          // statement's sole TOP-LEVEL relation: in a join, bare `planet_id`
+          // may bind to the OTHER side (reference binder resolves aliases
+          // per-relation, virtual_datasets/planet_data.py:100-113), so
+          // rewriting it would silently retarget the column. Detect other
+          // relations textually: any paren-depth-0 FROM/JOIN target that
+          // isn't this view, or a comma-separated FROM list. Relations that
+          // appear only inside subqueries (`WHERE planet_id IN (SELECT id
+          // FROM $planets)`) have their own scope and don't shadow the
+          // outer relation's columns.
+          val parenDepth = {
+            val mask = literalMask(s)
+            val d = new Array[Int](s.length)
+            var dep = 0
+            var k = 0
+            while (k < s.length) {
+              val c = s.charAt(k)
+              if (k >= mask.length || !mask(k)) {
+                if (c == '(') dep += 1
+                else if (c == ')') dep = math.max(0, dep - 1)
+              }
+              d(k) = dep
+              k += 1
+            }
+            d
+          }
+          val relTargets =
+            """(?i)\b(?:FROM|JOIN)\s+([A-Za-z_$][\w.$]*(?:\s*,\s*[A-Za-z_$][\w.$]*)*)""".r
+              .findAllMatchIn(s)
+              .filter(m => parenDepth(m.start) == 0)
+              .flatMap(_.group(1).split(",").map(_.trim.split("\\s+")(0)))
+              .filterNot(w => stop(w.toLowerCase)).toSet
+          val soleRelation = relTargets.subsetOf(Set(view))
           aliases.foldLeft(s) { case (t, (alias, primary)) =>
             val qualified = replaceOutsideLiterals(
               ("(?i)\\b(\\w+)\\.(" + alias + ")\\b").r, t) { m =>
@@ -897,7 +930,8 @@ object GraftSql {
             }
             // unqualified occurrences rewrite EXCEPT as an AS target — that
             // is a user-chosen output name, not a reference to the column
-            replaceOutsideLiterals(
+            if (!soleRelation) qualified
+            else replaceOutsideLiterals(
               ("(?i)(?<![\\w.$])" + alias + "\\b").r, qualified) { m =>
               val before = m.before.toString
               if (before.matches("(?is).*\\bAS\\s+")) m.matched else primary
@@ -1255,15 +1289,46 @@ object GraftSql {
     // interval minuend, but the reference's kernel swaps the operands and
     // negates (datatypes/intervals.py:141-150 — signum=-1, INTERVAL left
     // swaps to right), i.e. it computes EXACTLY <operand> - INTERVAL, so
-    // this rewrite is value-identical, not an approximation.
-    s = replaceOutsideLiterals(
-      ("""(?i)\bINTERVAL\s+('[^']*')\s*((?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|""" +
-        """SECOND)S?)?\s*-\s*((?:TIMESTAMP|DATE)\s*'[^']*'""" +
-        """|(?!INTERVAL\b)[A-Za-z_][\w.]*(?:\(\s*\))?)""").r, s) { m =>
-      // INTERVAL - INTERVAL is valid native arithmetic and excluded above;
-      // only the timestamp/date/column minuend needs the reference's swap
-      val unit = Option(m.group(2)).getOrElse("")
-      s"(${m.group(3)} - INTERVAL ${m.group(1)} $unit)"
+    // this rewrite is value-identical, not an approximation. The swap is
+    // only valid when the INTERVAL literal STARTS the expression: in
+    // `ts1 - INTERVAL '1' DAY - ts2` the literal is a right operand of the
+    // first `-` (parses as `(ts1 - INTERVAL) - ts2`, valid native Spark),
+    // and swapping there would flip the interval's sign. Mirror the XOR
+    // operandEndsBefore guard: skip when the nearest preceding non-space
+    // char is an operand tail (word/`)`/`]`/quote that isn't an
+    // expression-starting keyword) or an arithmetic operator.
+    s = {
+      val exprStartKw = Set("select", "where", "when", "then", "else", "and",
+        "or", "not", "on", "by", "having", "set", "union", "all", "distinct",
+        "as", "case", "between", "in", "values", "from", "limit", "offset",
+        "return", "if", "coalesce")
+      replaceOutsideLiterals(
+        ("""(?i)\bINTERVAL\s+('[^']*')\s*((?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|""" +
+          """SECOND)S?)?\s*-\s*((?:TIMESTAMP|DATE)\s*'[^']*'""" +
+          """|(?!INTERVAL\b)[A-Za-z_][\w.]*(?:\(\s*\))?)""").r, s) { m =>
+        var p = m.start - 1
+        while (p >= 0 && m.source.charAt(p).isWhitespace) p -= 1
+        val startsExpr =
+          if (p < 0) true
+          else {
+            val c = m.source.charAt(p)
+            if (c == ')' || c == ']' || c == '\'') false // operand tail
+            else if ("+-*/%".indexOf(c) >= 0) false      // right operand of arith
+            else if (c.isLetterOrDigit || c == '_') {
+              var w = p
+              while (w >= 0 && (m.source.charAt(w).isLetterOrDigit ||
+                m.source.charAt(w) == '_')) w -= 1
+              exprStartKw(m.source.subSequence(w + 1, p + 1).toString.toLowerCase)
+            } else true // '(', ',', comparison ops: expression starts here
+          }
+        if (!startsExpr) m.matched
+        else {
+          // INTERVAL - INTERVAL is valid native arithmetic and excluded
+          // above; only the timestamp/date/column minuend needs the swap
+          val unit = Option(m.group(2)).getOrElse("")
+          s"(${m.group(3)} - INTERVAL ${m.group(1)} $unit)"
+        }
+      }
     }
     // trailing comma before FROM (reference parser tolerates it —
     // results corpus complex_005): never valid ANSI, so dropping is safe

@@ -54,10 +54,17 @@ object Recursion {
 
     var rows = base.take(driverFrontierCap + 1)
     if (rows.length <= driverFrontierCap) {
-      // collect-paced tier
+      // collect-paced tier. local() rebinds collected rows POSITIONALLY
+      // against base.schema, so step must preserve column order — the
+      // require below fences that contract at the first application.
       if (rows.isEmpty) done = true else frames += local(rows)
       while (!done && i < maxIter && rows.length <= driverFrontierCap) {
-        rows = step(local(rows)).take(driverFrontierCap + 1)
+        val stepped = step(local(rows))
+        require(stepped.schema.fieldNames.sameElements(schema.fieldNames),
+          s"Recursion.unionAll: step must preserve column order; got " +
+            s"${stepped.schema.fieldNames.mkString(",")} vs base " +
+            schema.fieldNames.mkString(","))
+        rows = stepped.take(driverFrontierCap + 1)
         if (rows.isEmpty) done = true
         else if (rows.length <= driverFrontierCap) { frames += local(rows); i += 1 }
         // oversized: fall through to the checkpoint tier with `rows` intact
@@ -65,7 +72,11 @@ object Recursion {
     }
     if (!done && (rows.length > driverFrontierCap || frames.isEmpty)) {
       // checkpoint-paced tier: re-derive the oversized frontier lazily —
-      // its rows never transit the driver again
+      // its rows never transit the driver again. The re-derived
+      // step(frames.last) is the SAME application whose oversized result
+      // just exited the collect tier — count it against maxIter so the
+      // handoff doesn't grant an extra depth level.
+      if (frames.nonEmpty) i += 1
       var frontier =
         (if (frames.isEmpty) base else step(frames.last)).localCheckpoint()
       frames += frontier

@@ -85,7 +85,8 @@ object ScaleCheck {
     "p111_dsir_importance", "p112_mad_outliers", "p113_cms_heavy_hitters",
     "p114_kcenter_coreset",
     "p115_fuzzy_match", "p116_dq_rules", "p117_shard_manifest",
-    "p118_cluster_purity")
+    "p118_cluster_purity",
+    "p119_bloom_fp_calibration", "p120_ngram_novelty", "p121_heaps_fit")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

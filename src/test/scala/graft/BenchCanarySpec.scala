@@ -117,4 +117,19 @@ class BenchCanarySpec extends AnyFunSuite {
     // clean, a later re-cut with fresh trials clears naturally
     assert(!BenchCanary.spreadSuspect(Vector(2.9, 2.8, 2.85, 2.95)))
   }
+
+  test("cleanTrials: r11 load-episode shapes yield a clean median basis") {
+    // p80's official r11 shape: one 20.6s episode against a 2.66s floor —
+    // the clean subset is exactly the non-episode trials
+    assert(BenchCanary.cleanTrials(Seq(2.66, 2.9, 20.6)) == Seq(2.66, 2.9))
+    // p77's 45.9s outlier vs 2.9–4.6s siblings: siblings within 2.5x stay
+    assert(BenchCanary.cleanTrials(Seq(2.9, 4.6, 45.9, 3.1)) == Seq(2.9, 4.6, 3.1))
+    // a tight set passes through untouched
+    assert(BenchCanary.cleanTrials(Seq(1.0, 1.1, 1.2)) == Seq(1.0, 1.1, 1.2))
+    // degenerate inputs
+    assert(BenchCanary.cleanTrials(Nil) == Nil)
+    // a genuinely bimodal query (every trial >2.5x the min) cannot
+    // assemble 3 clean trials -> Bench keeps the flag
+    assert(BenchCanary.cleanTrials(Seq(1.0, 3.0, 3.2, 3.1)).size < 3)
+  }
 }

@@ -50,6 +50,9 @@ class BoundedWindowSpec extends AnyFunSuite {
       "Heaps curve cumulates over the 10-row decile frame"),
     "p121_heaps_fit" -> (64L,
       "OLS cumulations run over the 10-row decile frame — the p83 class"),
+    "p118_cluster_purity" -> (1024L,
+      "kmeans-init numbering over a LIMIT K frame (p47's whitelisted pattern); " +
+        "appears twice because the init subtree feeds both assign passes"),
     "p85_quality_ensemble" -> (65536L,
       "decile boundaries come from the value-domain-bounded score histogram"),
     "p108_block_lm_trim" -> (65536L,

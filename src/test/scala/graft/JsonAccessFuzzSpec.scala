@@ -55,7 +55,7 @@ class JsonAccessFuzzSpec extends AnyFunSuite {
 
   test("200 random documents: -> / ->> / @? agree with the jackson ground truth") {
     val rnd = new scala.util.Random(1123581321L)
-    (1 to 200).foreach { i =>
+    (1 to 800).foreach { i =>
       val doc = genObject(rnd, 1)
       val json = om.writeValueAsString(doc)
       val key = keys(rnd.nextInt(keys.length))
@@ -75,7 +75,7 @@ class JsonAccessFuzzSpec extends AnyFunSuite {
 
   test("nested chains and array roots extract like the jackson tree") {
     val rnd = new scala.util.Random(271828L)
-    (1 to 60).foreach { i =>
+    (1 to 240).foreach { i =>
       val inner = genObject(rnd, 0)
       val doc = om.createObjectNode()
       doc.set[JsonNode]("a", inner)

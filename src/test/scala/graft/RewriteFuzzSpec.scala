@@ -69,10 +69,10 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "@@version", "INTERVAL ''1'' DAY - ts", "NOT 1 = 2", "r''raw''",
     "FROM t,", "CASE WHEN x THEN ''y'' ELSE FALSE END", "planet_id")
 
-  test("300 seeded statements: XOR precedence + masked literals agree with the AST") {
+  test("1200 seeded statements: XOR precedence + masked literals agree with the AST") {
     val rnd = new scala.util.Random(20260814L)
     var xorCount = 0
-    (1 to 300).foreach { i =>
+    (1 to 1200).foreach { i =>
       val ast = gen(rnd, 3)
       if (ast.sql.contains("XOR")) xorCount += 1
       val hazard = hazards(rnd.nextInt(hazards.length))
@@ -89,12 +89,68 @@ class RewriteFuzzSpec extends AnyFunSuite {
         s"[case $i] literal corrupted for: $sql")
     }
     // the generator must actually exercise the XOR splice path
-    assert(xorCount >= 60, s"only $xorCount/300 cases contained XOR")
+    assert(xorCount >= 240, s"only $xorCount/1200 cases contained XOR")
+  }
+
+  test("pinned regressions: historical crash/miscompile shapes stay fixed") {
+    // r10 ship-red: IFNULL with an untyped NULL first argument crashed the
+    // RuntimeReplaceable rewrite (DialectExpressions.scala:146-149)
+    assert(g.query("SELECT IFNULL(NULL, 3) AS v").head().get(0).toString == "3")
+    assert(g.query("SELECT IFNULL(NULL, NULL) AS v").head().isNullAt(0))
+    // r11 fuzz find: XOR with a parenthesized rhs spliced at the wrong
+    // precedence before the balanced-operand capture
+    assert(g.query("SELECT TRUE XOR (1 > 2) AS v").head().getBoolean(0))
+    assert(!g.query("SELECT (1 < 2) XOR (3 > 2) AS v").head().getBoolean(0))
+    // r12 advisor find: the INTERVAL-minuend swap fired MID-expression,
+    // flipping the interval sign in `ts1 - INTERVAL ... - ts2` and
+    // retargeting `ts + INTERVAL ... - x`; only an expression-LEADING
+    // INTERVAL literal may swap (reference intervals.py:141-150)
+    val mid = g.query(
+      "SELECT TIMESTAMP '2024-01-03 00:00:00' - INTERVAL '1' DAY" +
+        " - TIMESTAMP '2024-01-01 00:00:00' AS v").head().get(0)
+    val midWant = g.query(
+      "SELECT (TIMESTAMP '2024-01-03 00:00:00' - INTERVAL '1' DAY)" +
+        " - TIMESTAMP '2024-01-01 00:00:00' AS v").head().get(0)
+    assert(mid == midWant, s"mid-expression INTERVAL swap fired: $mid")
+    val plus = g.query(
+      "SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '2' HOUR" +
+        " - TIMESTAMP '2024-01-01 00:00:00' AS v").head().get(0)
+    assert(Seq("PT2H", "2:00:00", "2 hours").exists(plus.toString.contains),
+      s"plus-chain INTERVAL swap fired: $plus")
+    // expression-leading minuend still swaps (the dialect's whole point)
+    val lead = g.query(
+      "SELECT INTERVAL '1' DAY - TIMESTAMP '2024-01-02 00:00:00' AS v").head().get(0)
+    assert(lead.toString.startsWith("2024-01-01"), s"leading swap broken: $lead")
+    // r12 advisor find: an UNQUALIFIED column colliding with a virtual
+    // dataset's per-relation alias must NOT rewrite in a join — it binds to
+    // the other relation (reference resolves aliases per-relation)
+    import spark.implicits._
+    Seq((1, 9001L, "meta"), (2, 9002L, "meta"))
+      .toDF("sid", "planet_id", "tag").createOrReplaceTempView("sat_meta")
+    val bare = g.query(
+      "SELECT sat_meta.sid, planet_id FROM sat_meta" +
+        " JOIN $satellites ON sat_meta.sid = $satellites.id" +
+        " ORDER BY sat_meta.sid").collect()
+    assert(bare.map(_.getLong(1)).sameElements(Array(9001L, 9002L)),
+      "bare planet_id retargeted to $satellites.planetId in a join")
+    // …while the single-relation case still resolves through the alias
+    assert(g.query("SELECT planet_id FROM $satellites ORDER BY id LIMIT 1")
+      .head().get(0) != null)
+    // …and a relation inside a SUBQUERY has its own scope — it must not
+    // disable the outer relation's alias rewrite (shapes.tsv:780 shape)
+    assert(g.query("SELECT count(*) AS n FROM $satellites" +
+      " WHERE planet_id IN (SELECT id FROM $planets)").head().getLong(0) > 0)
+    // and a QUALIFIED virtual-relation reference still rewrites in a join
+    val qual = g.query(
+      "SELECT sat_meta.sid, $satellites.planet_id AS pid FROM sat_meta" +
+        " JOIN $satellites ON sat_meta.sid = $satellites.id" +
+        " ORDER BY sat_meta.sid").collect()
+    assert(qual.nonEmpty && qual.forall(!_.isNullAt(1)))
   }
 
   test("XOR inside clause contexts: WHERE, CASE, nested parens, multi-statement") {
     val rnd = new scala.util.Random(42L)
-    (1 to 60).foreach { i =>
+    (1 to 240).foreach { i =>
       val ast = gen(rnd, 2)
       val expected = ast.eval
       // WHERE: row survives iff the predicate is true
