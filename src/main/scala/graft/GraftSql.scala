@@ -863,6 +863,87 @@ object GraftSql {
 
   // -- virtual datasets + table functions -------------------------------------
 
+  /** Per-position paren nesting depth, literal-masked (chars inside string
+    * literals neither open nor close). Shared by the relation-scope guards
+    * below and usable by any rewrite that needs top-level context. */
+  private def parenDepthOf(s: String, mask: Array[Boolean]): Array[Int] = {
+    val d = new Array[Int](s.length)
+    var dep = 0
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (k >= mask.length || !mask(k)) {
+        if (c == '(') dep += 1
+        else if (c == ')') dep = math.max(0, dep - 1)
+      }
+      d(k) = dep
+      k += 1
+    }
+    d
+  }
+
+  /** Keywords that can follow a FROM/JOIN target without being a binding
+    * alias, plus set-op/join connectives — never relation names. */
+  private val relStopWords = Set("where", "on", "group", "order", "having",
+    "limit", "union", "intersect", "except", "join", "inner", "left",
+    "right", "full", "cross", "natural", "as", "using", "for", "qualify")
+
+  /** Table functions that may appear as a bare FROM/JOIN target BEFORE
+    * rewriteTableFunctions runs: they produce columns under their OWN
+    * aliases, never under a virtual dataset's column names, so they must
+    * not count as a competing relation for the bare-alias guard. */
+  private val tableFnRelNames =
+    Set("unnest", "generate_series", "fake", "values", "range")
+
+  /** Spans `[start, end)` of the statement's top-level set-operation arms:
+    * cut at paren-depth-0 UNION/INTERSECT/EXCEPT keywords outside string
+    * literals. `EXCEPT (` is skipped — that spelling is the select-list
+    * column-exclusion form, not a set operation. A statement with no set
+    * operator yields one span covering the whole string. */
+  private def topLevelArms(
+      s: String, mask: Array[Boolean], depth: Array[Int]): Seq[(Int, Int)] = {
+    val delim =
+      """(?i)\b(?:UNION(?:\s+ALL|\s+DISTINCT)?|INTERSECT(?:\s+ALL)?|EXCEPT(?!\s*\()(?:\s+ALL)?)\b""".r
+    val cuts = delim.findAllMatchIn(s)
+      .filter(m => m.start < mask.length && !mask(m.start) && depth(m.start) == 0)
+      .map(m => (m.start, m.end)).toList
+    val starts = 0 :: cuts.map(_._2)
+    val ends = cuts.map(_._1) ::: List(s.length)
+    starts.zip(ends)
+  }
+
+  /** True when `view` is the only column-contributing relation of this
+    * top-level arm (bare-alias guard of rewriteVirtualTables). Conservative
+    * on anything the textual scan can't positively identify: a depth-0
+    * derived/`LATERAL` JOIN target or a double-quoted relation name counts
+    * as "another relation" and suppresses the rewrite. Matches inside
+    * string literals are excluded (a literal `'copied FROM x'` is content,
+    * not a relation), and known table-function targets
+    * (`JOIN UNNEST(...)`) bind no columns of the view's names so they
+    * don't suppress. */
+  private def armSoleRelation(arm: String, view: String): Boolean = {
+    val mask = literalMask(arm)
+    val depth = parenDepthOf(arm, mask)
+    def top(m: scala.util.matching.Regex.Match): Boolean =
+      m.start < mask.length && !mask(m.start) && depth(m.start) == 0
+    val opaque =
+      """(?i)\bJOIN\s*\(""".r.findAllMatchIn(arm).exists(top) ||
+        """(?i)\bLATERAL\b""".r.findAllMatchIn(arm).exists(top) ||
+        """(?i)\b(?:FROM|JOIN)\s+"""".r.findAllMatchIn(arm).exists(top)
+    if (opaque) false
+    else {
+      val named =
+        """(?i)\b(?:FROM|JOIN)\s+([A-Za-z_$][\w.$]*(?:\s*,\s*[A-Za-z_$][\w.$]*)*)""".r
+          .findAllMatchIn(arm)
+          .filter(top)
+          .flatMap(_.group(1).split(",").map(_.trim.split("\\s+")(0)))
+          .filterNot(w => relStopWords(w.toLowerCase))
+          .filterNot(w => tableFnRelNames(w.toLowerCase))
+          .toSet
+      named.subsetOf(Set(view))
+    }
+  }
+
   /** `$planets` etc. → registered view names (Spark unquoted identifiers
     * exclude `$`; reference registry at opteryx/virtual_datasets/__init__.py:13-24).
     * `information_schema.tables/columns` → catalog-backed views (reference
@@ -883,46 +964,22 @@ object GraftSql {
         val view = graft.sources.VirtualDatasets.prefix + rel
         if (!s.contains(view)) s
         else {
-          val stop = Set("where", "on", "group", "order", "having", "limit",
-            "union", "intersect", "except", "join", "inner", "left", "right",
-            "full", "cross", "natural", "as", "using", "for", "qualify")
           val quals = Set(view) ++
             ("""(?i)\b(?:FROM|JOIN)\s+""" + view + """(?:\s+AS)?\s+(\w+)""").r
               .findAllMatchIn(s).map(_.group(1))
-              .filterNot(w => stop(w.toLowerCase))
+              .filterNot(w => relStopWords(w.toLowerCase))
           // an UNQUALIFIED alias rewrites only when the virtual view is the
-          // statement's sole TOP-LEVEL relation: in a join, bare `planet_id`
-          // may bind to the OTHER side (reference binder resolves aliases
-          // per-relation, virtual_datasets/planet_data.py:100-113), so
-          // rewriting it would silently retarget the column. Detect other
-          // relations textually: any paren-depth-0 FROM/JOIN target that
-          // isn't this view, or a comma-separated FROM list. Relations that
-          // appear only inside subqueries (`WHERE planet_id IN (SELECT id
-          // FROM $planets)`) have their own scope and don't shadow the
-          // outer relation's columns.
-          val parenDepth = {
-            val mask = literalMask(s)
-            val d = new Array[Int](s.length)
-            var dep = 0
-            var k = 0
-            while (k < s.length) {
-              val c = s.charAt(k)
-              if (k >= mask.length || !mask(k)) {
-                if (c == '(') dep += 1
-                else if (c == ')') dep = math.max(0, dep - 1)
-              }
-              d(k) = dep
-              k += 1
-            }
-            d
-          }
-          val relTargets =
-            """(?i)\b(?:FROM|JOIN)\s+([A-Za-z_$][\w.$]*(?:\s*,\s*[A-Za-z_$][\w.$]*)*)""".r
-              .findAllMatchIn(s)
-              .filter(m => parenDepth(m.start) == 0)
-              .flatMap(_.group(1).split(",").map(_.trim.split("\\s+")(0)))
-              .filterNot(w => stop(w.toLowerCase)).toSet
-          val soleRelation = relTargets.subsetOf(Set(view))
+          // sole relation of its top-level set-operation arm: in a join,
+          // bare `planet_id` may bind to the OTHER side (reference binder
+          // resolves aliases per-relation,
+          // virtual_datasets/planet_data.py:100-113), so rewriting it would
+          // silently retarget the column. Each UNION/INTERSECT/EXCEPT arm
+          // is scoped independently (an arm that reads only the view keeps
+          // the rewrite even when a sibling arm reads another table).
+          // Relations that appear only inside subqueries (`WHERE planet_id
+          // IN (SELECT id FROM $planets)`) have their own scope and don't
+          // shadow the outer relation's columns — armSoleRelation ignores
+          // them via paren depth.
           aliases.foldLeft(s) { case (t, (alias, primary)) =>
             val qualified = replaceOutsideLiterals(
               ("(?i)\\b(\\w+)\\.(" + alias + ")\\b").r, t) { m =>
@@ -930,12 +987,25 @@ object GraftSql {
             }
             // unqualified occurrences rewrite EXCEPT as an AS target — that
             // is a user-chosen output name, not a reference to the column
-            if (!soleRelation) qualified
-            else replaceOutsideLiterals(
-              ("(?i)(?<![\\w.$])" + alias + "\\b").r, qualified) { m =>
-              val before = m.before.toString
-              if (before.matches("(?is).*\\bAS\\s+")) m.matched else primary
+            val unqualRe = ("(?i)(?<![\\w.$])" + alias + "\\b").r
+            def rewriteArm(arm: String): String =
+              replaceOutsideLiterals(unqualRe, arm) { m =>
+                val before = m.before.toString
+                if (before.matches("(?is).*\\bAS\\s+")) m.matched else primary
+              }
+            val armsMask = literalMask(qualified)
+            val armsDepth = parenDepthOf(qualified, armsMask)
+            val out = new StringBuilder
+            var pos = 0
+            topLevelArms(qualified, armsMask, armsDepth).foreach {
+              case (a, b) =>
+                out.append(qualified.substring(pos, a))
+                val arm = qualified.substring(a, b)
+                out.append(if (armSoleRelation(arm, view)) rewriteArm(arm) else arm)
+                pos = b
             }
+            out.append(qualified.substring(pos))
+            out.toString
           }
         }
     }

@@ -148,6 +148,88 @@ class RewriteFuzzSpec extends AnyFunSuite {
     assert(qual.nonEmpty && qual.forall(!_.isNullAt(1)))
   }
 
+  test("alias guard: 60+ join-context virtual-dataset statements pin armSoleRelation") {
+    import spark.implicits._
+    Seq((1, 9001L), (2, 9002L), (3, 9003L))
+      .toDF("sid", "planet_id").createOrReplaceTempView("fz_meta")
+
+    // -- (a) string-literal hazards must NOT disable the bare-alias rewrite:
+    // relTargets is literal-masked, so 'copied FROM somewhere' is content,
+    // not a phantom relation (r12 advisor medium find)
+    val litHazards = Seq(
+      "copied FROM somewhere", "a JOIN b", "x FROM t, u", "FROM \"q\"",
+      "SELECT * FROM other", "INNER JOIN (SELECT 1) d", "FROM LATERAL x",
+      "UNION ALL SELECT planet_id FROM z", ", extra_rel", "JOIN UNNEST(a)")
+    litHazards.zipWithIndex.foreach { case (h, i) =>
+      val r = g.query(
+        s"SELECT planet_id FROM $$satellites WHERE name <> '$h' ORDER BY id LIMIT 1")
+        .head()
+      assert(!r.isNullAt(0), s"[lit $i] literal '$h' disabled the alias rewrite")
+    }
+
+    // -- (b) table-function join targets bind no competing columns — the
+    // rewrite stays enabled across UNNEST/GENERATE_SERIES join shapes
+    val tfShapes = Seq(
+      s"SELECT planet_id, g FROM $$satellites CROSS JOIN GENERATE_SERIES(1, 2) AS t(g) ORDER BY id, g LIMIT 4",
+      s"SELECT planet_id FROM $$satellites CROSS JOIN GENERATE_SERIES(1, 1) AS t(g) ORDER BY id LIMIT 2",
+      s"SELECT planet_id, w FROM $$satellites CROSS JOIN UNNEST(ARRAY(1, 2)) AS u(w) ORDER BY id, w LIMIT 4")
+    tfShapes.zipWithIndex.foreach { case (q, i) =>
+      val rows = g.query(q).collect()
+      assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)),
+        s"[tf $i] table-function join disabled the alias rewrite: $q")
+    }
+
+    // -- (c) a real second relation suppresses: bare planet_id binds to the
+    // OTHER side (which carries a genuine planet_id column), never to
+    // $satellites.planetId — across JOIN, comma-FROM, and derived-JOIN forms
+    val joinShapes = Seq(
+      "SELECT planet_id FROM fz_meta JOIN $satellites ON fz_meta.sid = $satellites.id WHERE fz_meta.sid = 1",
+      "SELECT planet_id FROM $satellites JOIN fz_meta ON fz_meta.sid = $satellites.id WHERE fz_meta.sid = 2",
+      "SELECT planet_id FROM $satellites LEFT JOIN fz_meta ON fz_meta.sid = $satellites.id WHERE fz_meta.sid = 3",
+      "SELECT planet_id FROM fz_meta, $satellites WHERE fz_meta.sid = $satellites.id AND fz_meta.sid = 1",
+      "SELECT planet_id FROM $satellites JOIN (SELECT 1 AS k, 9001 AS planet_id) d ON d.k = $satellites.id")
+    val expected = Seq(9001L, 9002L, 9003L, 9001L, 9001L)
+    joinShapes.zip(expected).zipWithIndex.foreach { case ((q, want), i) =>
+      val got = g.query(q).head().get(0).toString.toDouble.toLong
+      assert(got == want,
+        s"[join $i] bare planet_id retargeted (got $got, want $want): $q")
+    }
+
+    // -- (d) UNION arms are scoped independently: the $satellites-only arm
+    // keeps its rewrite even when a sibling arm reads another relation
+    // (r12 advisor low find: statement-global gate was a functional
+    // regression vs the reference's per-relation binder)
+    val armShapes = Seq(
+      "SELECT planet_id FROM $satellites WHERE id = 1 UNION ALL SELECT planet_id FROM fz_meta WHERE sid = 1",
+      "SELECT planet_id FROM fz_meta WHERE sid = 2 UNION ALL SELECT planet_id FROM $satellites WHERE id = 1",
+      "SELECT planet_id FROM $satellites WHERE id = 1 UNION SELECT planet_id FROM $satellites WHERE id = 1",
+      "SELECT planet_id FROM $satellites WHERE id = 1 UNION ALL SELECT planet_id FROM fz_meta WHERE sid = 1 UNION ALL SELECT planet_id FROM $satellites WHERE id = 2")
+    armShapes.zipWithIndex.foreach { case (q, i) =>
+      val rows = g.query(q).collect()
+      assert(rows.nonEmpty && rows.forall(!_.isNullAt(0)),
+        s"[arm $i] per-arm alias scoping failed: $q")
+    }
+
+    // -- (e) randomized composition: literal hazard × join-or-sole × clause
+    // position, 40 seeded cases — sole-relation statements must resolve,
+    // two-relation statements must bind the probe's planet_id
+    val rnd = new scala.util.Random(13L)
+    (1 to 40).foreach { i =>
+      val h = litHazards(rnd.nextInt(litHazards.length))
+      val joined = rnd.nextBoolean()
+      if (joined) {
+        val sid = 1 + rnd.nextInt(3)
+        val q = s"SELECT planet_id, '$h' AS tag FROM fz_meta " +
+          s"JOIN $$satellites ON fz_meta.sid = $$satellites.id WHERE fz_meta.sid = $sid"
+        assert(g.query(q).head().getLong(0) == 9000L + sid, s"[mix $i] $q")
+      } else {
+        val q = s"SELECT planet_id, '$h' AS tag FROM $$satellites " +
+          s"WHERE name <> '$h' ORDER BY id LIMIT 1"
+        assert(!g.query(q).head().isNullAt(0), s"[mix $i] $q")
+      }
+    }
+  }
+
   test("XOR inside clause contexts: WHERE, CASE, nested parens, multi-statement") {
     val rnd = new scala.util.Random(42L)
     (1 to 240).foreach { i =>
