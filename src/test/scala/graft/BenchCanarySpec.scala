@@ -118,6 +118,27 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(!BenchCanary.spreadSuspect(Vector(2.9, 2.8, 2.85, 2.95)))
   }
 
+  test("dispersion + load_suspect: the r12 forensic shapes self-adjudicate") {
+    // p19's official r12 trials [1.82, 1.63, 0.45]: ratio 4.04 passed the
+    // 5x spreadSuspect gate silently — dispersionSuspect must catch it
+    assert(!BenchCanary.spreadSuspect(Seq(1.82, 1.63, 0.45)))
+    assert(BenchCanary.dispersionSuspect(Seq(1.82, 1.63, 0.45)))
+    assert(math.abs(BenchCanary.dispersionRatio(Seq(1.82, 1.63, 0.45)) - 4.044) < 0.01)
+    // sub-jitter medians never flag (scheduling noise on fast queries)
+    assert(!BenchCanary.dispersionSuspect(Seq(0.09, 0.31, 0.12)))
+    // tight trials never flag
+    assert(!BenchCanary.dispersionSuspect(Seq(1.0, 1.1, 1.2)))
+    assert(BenchCanary.dispersionRatio(Nil) == 0.0)
+    assert(BenchCanary.dispersionRatio(Seq(0.0, 1.0)) == 0.0)
+    // the r12 official cut (canary median 0.389 vs the r11 clean 0.343
+    // band, +13%) must stamp load_suspect; the r11 clean cut itself and
+    // small drifts must not
+    assert(BenchCanary.loadSuspect(0.389))
+    assert(!BenchCanary.loadSuspect(0.343))
+    assert(!BenchCanary.loadSuspect(0.370))
+    assert(!BenchCanary.loadSuspect(0.5, band = 0.0)) // no band -> no verdict
+  }
+
   test("cleanTrials: r11 load-episode shapes yield a clean median basis") {
     // p80's official r11 shape: one 20.6s episode against a 2.66s floor —
     // the clean subset is exactly the non-episode trials
