@@ -23,6 +23,11 @@ import java.util.regex.Matcher
   */
 object GraftSql {
 
+  // ALL lexical context (literal masking, balanced groups, operand capture,
+  // operand/operator position tests, arm spans) comes from the shared
+  // scanner — no rewrite below re-derives quote/paren/operand state ad hoc.
+  import SqlScan._
+
   /** A relation-scoped temporal restriction extracted from `FOR` syntax.
     * The rewritten SQL references `viewName`; the session layer registers it
     * as the base relation filtered to [start, end]. */
@@ -148,65 +153,6 @@ object GraftSql {
     out.toString
   }
 
-  /** mask(i) = true iff position i sits strictly inside a single-quoted
-    * literal (opening quote excluded, so a regex match that starts AT a
-    * literal — e.g. `'x' = ANY(arr)` — still rewrites; content matches —
-    * e.g. the arrow in `'a -> 1'` — do not). */
-  private def literalMask(sql: String): Array[Boolean] = {
-    val mask = new Array[Boolean](sql.length)
-    var i = 0
-    var inStr = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (!inStr && c == '\'') { inStr = true; mask(i) = false }
-      else if (inStr && c == '\'') {
-        mask(i) = true
-        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { mask(i + 1) = true; i += 1 }
-        else inStr = false
-      } else mask(i) = inStr
-      i += 1
-    }
-    mask
-  }
-
-  /** Regex replace that skips matches starting inside a string literal. */
-  private def replaceOutsideLiterals(
-      re: scala.util.matching.Regex, sql: String)(
-      f: scala.util.matching.Regex.Match => String): String = {
-    val mask = literalMask(sql)
-    re.replaceAllIn(sql, m =>
-      Matcher.quoteReplacement(if (m.start < mask.length && mask(m.start)) m.matched else f(m)))
-  }
-
-  /** Apply a transformation only to the regions of `sql` outside single-quoted
-    * string literals (literals are preserved verbatim). */
-  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
-    val out = new StringBuilder
-    val seg = new StringBuilder
-    var i = 0
-    var inStr = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (!inStr && c == '\'') {
-        out.append(f(seg.toString)); seg.clear()
-        inStr = true
-        out.append(c)
-      } else if (inStr && c == '\'') {
-        // handle escaped '' inside literal
-        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-          out.append("''"); i += 1
-        } else {
-          inStr = false
-          out.append(c)
-        }
-      } else if (inStr) out.append(c)
-      else seg.append(c)
-      i += 1
-    }
-    out.append(f(seg.toString))
-    out.toString
-  }
-
   /** DuckDB-style numeric literal spellings the reference's parser accepts
     * but Spark's lexer rejects: `0x1F` hex integers and `1_000_000`
     * underscore group separators. Rewritten to plain decimal outside string
@@ -214,16 +160,6 @@ object GraftSql {
     * can't touch column names). */
   private val hexLit = """\b0[xX]([0-9a-fA-F]+)\b""".r
   private val underscoreLit = """\b(\d[\d_]*\d)\b""".r
-
-  /** Apply `f` only to the spans outside backtick-quoted identifiers (which
-    * may legally start with a digit, e.g. `` `1_2` ``). Odd split indices are
-    * identifier interiors; a doubled `` `` `` escape yields empty even spans,
-    * which `f` maps harmlessly. */
-  private def mapOutsideBackticks(text: String)(f: String => String): String =
-    if (!text.contains('`')) f(text)
-    else text.split("`", -1).zipWithIndex.map { case (seg, idx) =>
-      if (idx % 2 == 0) f(seg) else seg
-    }.mkString("`")
 
   private def rewriteNumericLiterals(sql: String): String =
     mapOutsideLiterals(sql) { outer =>
@@ -487,48 +423,6 @@ object GraftSql {
   private def jsonPath(key: String): String =
     if (key.startsWith("$")) key else s"$$.$key"
 
-  /** Scan backwards from inclusive position `l` (the last non-space char of
-    * an operand) to the operand's start: a string literal, a balanced
-    * (...)/[...] group with an optional preceding dotted call name, or a
-    * dotted identifier. Returns -1 when nothing operand-like ends at `l`. */
-  private def operandStart(sql: String, mask: Array[Boolean], l: Int): Int = {
-    if (l < 0) -1
-    else if (sql.charAt(l) == '\'' && mask(l)) {
-      // closing quote of a literal: walk the masked interior to the opener
-      var k = l - 1
-      while (k >= 0 && mask(k)) k -= 1
-      if (k >= 0 && sql.charAt(k) == '\'') k else -1
-    } else if (sql.charAt(l) == ')' || sql.charAt(l) == ']') {
-      var depth = 0
-      var k = l
-      var open = -1
-      while (k >= 0 && open < 0) {
-        val ch = sql.charAt(k)
-        if (!mask(k) && (ch == ')' || ch == ']')) depth += 1
-        else if (!mask(k) && (ch == '(' || ch == '[')) { depth -= 1; if (depth == 0) open = k }
-        k -= 1
-      }
-      if (open < 0) -1
-      else {
-        var w = open - 1
-        while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' || sql.charAt(w) == '.')) w -= 1
-        w + 1
-      }
-    } else {
-      var w = l
-      while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_' ||
-        sql.charAt(w) == '.' || sql.charAt(w) == '$')) w -= 1
-      if (w + 1 <= l) w + 1 else -1
-    }
-  }
-
-  /** SQL keywords that terminate leftward expression capture — an operand
-    * equal to one of these is clause context, not part of the expression. */
-  private val exprBoundaryKw = Set("select", "from", "where", "and", "or",
-    "not", "on", "when", "then", "else", "end", "case", "by", "having",
-    "join", "in", "between", "like", "ilike", "rlike", "as", "union",
-    "intersect", "except", "limit", "offset", "distinct", "all", "any")
-
   /** Keywords that bound an infix-XOR operand: everything at or below OR
     * precedence plus clause context. AND/NOT/comparisons bind tighter than
     * XOR (MySQL precedence, which the reference's parser follows), so they
@@ -538,147 +432,12 @@ object GraftSql {
     "intersect", "except", "limit", "offset", "group", "order", "as",
     "asc", "desc", "nulls")
 
-  /** Operand span for an infix XOR at [xs, xe): returns (lhsStart, rhsEnd)
-    * where each side extends to the nearest depth-0 boundary — a comma, an
-    * unbalanced paren/bracket, a [[xorBoundaryKw]] word, or the string end. */
-  private def xorOperandBounds(
-      s: String, mask: Array[Boolean], xs: Int, xe: Int): (Int, Int) = {
-    var lhsStart = 0
-    var i = xs - 1
-    var depth = 0
-    var done = false
-    while (i >= 0 && !done) {
-      val c = s.charAt(i)
-      if (mask(i)) i -= 1
-      else if (c == ')' || c == ']') { depth += 1; i -= 1 }
-      else if (c == '(' || c == '[') {
-        if (depth == 0) { lhsStart = i + 1; done = true } else { depth -= 1; i -= 1 }
-      } else if ((c == ',' || c == ';') && depth == 0) { lhsStart = i + 1; done = true }
-      else if (c.isLetterOrDigit || c == '_') {
-        var w = i
-        while (w >= 0 && (s.charAt(w).isLetterOrDigit || s.charAt(w) == '_')) w -= 1
-        val word = s.substring(w + 1, i + 1).toLowerCase
-        if (depth == 0 && xorBoundaryKw(word)) { lhsStart = i + 1; done = true }
-        else i = w
-      } else i -= 1
-    }
-    var rhsEnd = s.length
-    var j = xe
-    depth = 0
-    done = false
-    while (j < s.length && !done) {
-      val c = s.charAt(j)
-      if (mask(j)) j += 1
-      else if (c == '(' || c == '[') { depth += 1; j += 1 }
-      else if (c == ')' || c == ']') {
-        if (depth == 0) { rhsEnd = j; done = true } else { depth -= 1; j += 1 }
-      } else if ((c == ',' || c == ';') && depth == 0) { rhsEnd = j; done = true }
-      else if (c.isLetter || c == '_') {
-        var w = j
-        while (w < s.length && (s.charAt(w).isLetterOrDigit || s.charAt(w) == '_')) w += 1
-        val word = s.substring(j, w).toLowerCase
-        if (depth == 0 && xorBoundaryKw(word)) { rhsEnd = j; done = true }
-        else j = w
-      } else j += 1
-    }
-    (lhsStart, rhsEnd)
-  }
-
-  /** Position of the CASE opening the END whose last char sits at `endLast`,
-    * tracking nested CASE…END blocks; -1 if unmatched. Word-extraction keeps
-    * identifiers like `weekend` from counting as END. */
-  private def matchingCaseStart(sql: String, mask: Array[Boolean], endLast: Int): Int = {
-    var depth = 1
-    var i = endLast - 3 // skip over the "end" word itself
-    while (i >= 0) {
-      if (!mask(i) && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) {
-        var ws = i
-        while (ws >= 0 && !mask(ws) && (sql.charAt(ws).isLetterOrDigit || sql.charAt(ws) == '_')) ws -= 1
-        val word = sql.substring(ws + 1, i + 1).toLowerCase
-        if (word == "end") depth += 1
-        else if (word == "case") { depth -= 1; if (depth == 0) return ws + 1 }
-        i = ws
-      } else i -= 1
-    }
-    -1
-  }
-
-  /** Like [[operandStart]], but extends leftward over binary arithmetic
-    * (`+ - * / %`) so a quantified comparison with an expression LHS
-    * (`n_nationkey % 5 = ALL (...)`) captures the WHOLE expression — the
-    * extremum/equality CASE rewrites substitute the LHS inside a CASE, where
-    * a dangling `n_nationkey % ` prefix would otherwise corrupt the types.
-    * Chaining stops at clause keywords so `WHERE -5 = ANY (...)` does not
-    * swallow `WHERE` through the unary minus. */
-  private def exprStart(sql: String, mask: Array[Boolean], l: Int): Int = {
-    var start = operandStart(sql, mask, l)
-    if (start < 0) return -1
-    var changed = true
-    while (changed) {
-      changed = false
-      var p = start - 1
-      while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
-      if (p >= 0 && !mask(p) && "+-*/%".indexOf(sql.charAt(p)) >= 0) {
-        var q = p - 1
-        while (q >= 0 && sql.charAt(q).isWhitespace) q -= 1
-        val s2 = operandStart(sql, mask, q)
-        val leftOperand =
-          if (s2 >= 0 && s2 <= q) Some(sql.substring(s2, q + 1).toLowerCase) else None
-        if (leftOperand.contains("end")) {
-          // `CASE … END - 5 = ANY (...)`: the sign is BINARY with a CASE
-          // expression on its left — extend capture to the matching CASE
-          // (treating it as unary would strand `CASE … END` mid-rewrite).
-          val cs = matchingCaseStart(sql, mask, q)
-          if (cs >= 0) { start = cs; changed = true }
-        } else if (leftOperand.exists(op => !exprBoundaryKw.contains(op))) {
-          start = s2; changed = true
-        } else if (sql.charAt(p) == '-' || sql.charAt(p) == '+') {
-          // Chaining halted at a clause boundary (or string/paren start), so
-          // this sign is UNARY — fold it into the captured LHS; leaving it
-          // outside would apply `-` to the rewritten boolean CASE
-          // (`WHERE -5 > ALL (...)` must capture `-5`, not `5`).
-          start = p; changed = true
-        }
-      }
-    }
-    start
-  }
-
   /** Spark's higher-order functions — the only call contexts in which a
     * `param -> body` arrow is a lambda rather than a JSON accessor. */
   private val hofNames = Set(
     "transform", "filter", "exists", "forall", "aggregate", "reduce",
     "zip_with", "map_filter", "map_zip_with", "transform_keys",
     "transform_values", "array_sort")
-
-  /** Name of the call whose argument list contains position `p` (which
-    * points at `(` or `,`), lowercased; "" when not inside a call. */
-  private def enclosingCallName(sql: String, mask: Array[Boolean], p: Int): String = {
-    var openPos = -1
-    if (sql.charAt(p) == '(') openPos = p
-    else {
-      var depth = 0
-      var k = p - 1
-      while (k >= 0 && openPos < 0) {
-        val ch = sql.charAt(k)
-        if (!mask(k)) {
-          if (ch == ')' || ch == ']') depth += 1
-          else if (ch == '(' || ch == '[') {
-            if (depth == 0) openPos = k else depth -= 1
-          }
-        }
-        k -= 1
-      }
-    }
-    if (openPos <= 0) ""
-    else {
-      var w = openPos - 1
-      while (w >= 0 && sql.charAt(w).isWhitespace) w -= 1
-      val end = w + 1
-      while (w >= 0 && (sql.charAt(w).isLetterOrDigit || sql.charAt(w) == '_')) w -= 1
-      sql.substring(w + 1, end).toLowerCase
-    }
-  }
 
   // -- quantified comparisons -------------------------------------------------
 
@@ -742,15 +501,7 @@ object GraftSql {
           val lhsStart = exprStart(sql, mask, l)
           // ---- RHS: balanced paren group from the keyword's open paren
           val open = m.end - 1
-          var depth = 0
-          var k = open
-          var close = -1
-          while (k < sql.length && close < 0) {
-            val ch = sql.charAt(k)
-            if (!mask(k) && ch == '(') depth += 1
-            else if (!mask(k) && ch == ')') { depth -= 1; if (depth == 0) close = k }
-            k += 1
-          }
+          val close = closeParen(sql, mask, open)
           if (lhsStart >= 0 && lhsStart <= l && close >= 0) {
             val lhs = sql.substring(lhsStart, l + 1)
             val inner = sql.substring(open + 1, close).trim
@@ -863,25 +614,6 @@ object GraftSql {
 
   // -- virtual datasets + table functions -------------------------------------
 
-  /** Per-position paren nesting depth, literal-masked (chars inside string
-    * literals neither open nor close). Shared by the relation-scope guards
-    * below and usable by any rewrite that needs top-level context. */
-  private def parenDepthOf(s: String, mask: Array[Boolean]): Array[Int] = {
-    val d = new Array[Int](s.length)
-    var dep = 0
-    var k = 0
-    while (k < s.length) {
-      val c = s.charAt(k)
-      if (k >= mask.length || !mask(k)) {
-        if (c == '(') dep += 1
-        else if (c == ')') dep = math.max(0, dep - 1)
-      }
-      d(k) = dep
-      k += 1
-    }
-    d
-  }
-
   /** Keywords that can follow a FROM/JOIN target without being a binding
     * alias, plus set-op/join connectives — never relation names. */
   private val relStopWords = Set("where", "on", "group", "order", "having",
@@ -894,23 +626,6 @@ object GraftSql {
     * not count as a competing relation for the bare-alias guard. */
   private val tableFnRelNames =
     Set("unnest", "generate_series", "fake", "values", "range")
-
-  /** Spans `[start, end)` of the statement's top-level set-operation arms:
-    * cut at paren-depth-0 UNION/INTERSECT/EXCEPT keywords outside string
-    * literals. `EXCEPT (` is skipped — that spelling is the select-list
-    * column-exclusion form, not a set operation. A statement with no set
-    * operator yields one span covering the whole string. */
-  private def topLevelArms(
-      s: String, mask: Array[Boolean], depth: Array[Int]): Seq[(Int, Int)] = {
-    val delim =
-      """(?i)\b(?:UNION(?:\s+ALL|\s+DISTINCT)?|INTERSECT(?:\s+ALL)?|EXCEPT(?!\s*\()(?:\s+ALL)?)\b""".r
-    val cuts = delim.findAllMatchIn(s)
-      .filter(m => m.start < mask.length && !mask(m.start) && depth(m.start) == 0)
-      .map(m => (m.start, m.end)).toList
-    val starts = 0 :: cuts.map(_._2)
-    val ends = cuts.map(_._1) ::: List(s.length)
-    starts.zip(ends)
-  }
 
   /** True when `view` is the only column-contributing relation of this
     * top-level arm (bare-alias guard of rewriteVirtualTables). Conservative
@@ -1071,15 +786,7 @@ object GraftSql {
       val mask = literalMask(s)
       seriesFn.findAllMatchIn(s).find(m => !mask(m.start)).foreach { m =>
         val open = m.end - 1
-        var depth = 0
-        var k = open
-        var close = -1
-        while (k < s.length && close < 0) {
-          val ch = s.charAt(k)
-          if (!mask(k) && ch == '(') depth += 1
-          else if (!mask(k) && ch == ')') { depth -= 1; if (depth == 0) close = k }
-          k += 1
-        }
+        val close = closeParen(s, mask, open)
         if (close >= 0) {
           s = s.substring(0, m.start) + "explode(sequence(" +
             s.substring(open + 1, close) + "))" + s.substring(close + 1)
@@ -1126,19 +833,6 @@ object GraftSql {
     "QUARTERS" -> "QUARTER", "YEAR" -> "YEAR", "YEARS" -> "YEAR",
     "MILLISECOND" -> "MILLISECOND", "MILLISECONDS" -> "MILLISECOND",
     "MICROSECOND" -> "MICROSECOND", "MICROSECONDS" -> "MICROSECOND")
-
-  /** Find the `)` closing the `(` at `open` (mask-aware); -1 if unbalanced. */
-  private def closeParen(s: String, mask: Array[Boolean], open: Int): Int = {
-    var depth = 0
-    var k = open
-    while (k < s.length) {
-      val ch = s.charAt(k)
-      if (!mask(k) && ch == '(') depth += 1
-      else if (!mask(k) && ch == ')') { depth -= 1; if (depth == 0) return k }
-      k += 1
-    }
-    -1
-  }
 
   /** Reference spellings with no direct Spark equivalent (reference corpora:
     * tests/integration/sql_battery/test_data/tests — the literal statements
@@ -1251,15 +945,7 @@ object GraftSql {
           val subscript = !isArrayWord && !kw.contains(word) && p >= 0 &&
             (s.charAt(p).isLetterOrDigit || s.charAt(p) == '_' ||
               s.charAt(p) == ')' || s.charAt(p) == ']' || s.charAt(p) == '\'')
-          var depth = 0
-          var k = i
-          var close = -1
-          while (k < s.length && close < 0) {
-            val ch = s.charAt(k)
-            if (!mask(k) && ch == '[') depth += 1
-            else if (!mask(k) && ch == ']') { depth -= 1; if (depth == 0) close = k }
-            k += 1
-          }
+          val close = closeGroup(s, mask, i, '[', ']')
           if (close > 0 && !subscript) {
             val start = if (isArrayWord) w + 1 else i
             s = s.substring(0, start) + "array(" + s.substring(i + 1, close) +
@@ -1363,9 +1049,9 @@ object GraftSql {
     // only valid when the INTERVAL literal STARTS the expression: in
     // `ts1 - INTERVAL '1' DAY - ts2` the literal is a right operand of the
     // first `-` (parses as `(ts1 - INTERVAL) - ts2`, valid native Spark),
-    // and swapping there would flip the interval's sign. Mirror the XOR
-    // operandEndsBefore guard: skip when the nearest preceding non-space
-    // char is an operand tail (word/`)`/`]`/quote that isn't an
+    // and swapping there would flip the interval's sign.
+    // SqlScan.startsExpression is that test: skip when the preceding token
+    // is an operand tail (word/`)`/`]`/quote that isn't an
     // expression-starting keyword) or an arithmetic operator.
     s = {
       val exprStartKw = Set("select", "where", "when", "then", "else", "and",
@@ -1376,22 +1062,7 @@ object GraftSql {
         ("""(?i)\bINTERVAL\s+('[^']*')\s*((?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|""" +
           """SECOND)S?)?\s*-\s*((?:TIMESTAMP|DATE)\s*'[^']*'""" +
           """|(?!INTERVAL\b)[A-Za-z_][\w.]*(?:\(\s*\))?)""").r, s) { m =>
-        var p = m.start - 1
-        while (p >= 0 && m.source.charAt(p).isWhitespace) p -= 1
-        val startsExpr =
-          if (p < 0) true
-          else {
-            val c = m.source.charAt(p)
-            if (c == ')' || c == ']' || c == '\'') false // operand tail
-            else if ("+-*/%".indexOf(c) >= 0) false      // right operand of arith
-            else if (c.isLetterOrDigit || c == '_') {
-              var w = p
-              while (w >= 0 && (m.source.charAt(w).isLetterOrDigit ||
-                m.source.charAt(w) == '_')) w -= 1
-              exprStartKw(m.source.subSequence(w + 1, p + 1).toString.toLowerCase)
-            } else true // '(', ',', comparison ops: expression starts here
-          }
-        if (!startsExpr) m.matched
+        if (!startsExpression(m.source.toString, m.start, exprStartKw)) m.matched
         else {
           // INTERVAL - INTERVAL is valid native arithmetic and excluded
           // above; only the timestamp/date/column minuend needs the swap
@@ -1421,29 +1092,17 @@ object GraftSql {
         guard += 1
         val mask = literalMask(out)
         // infix iff an OPERAND ends immediately before the keyword (word,
-        // ')', ']' or a literal); otherwise it is the registered xor(a,b)
-        // function in call position — `TRUE XOR (x)` is infix even though
-        // a '(' follows, `SELECT xor(1,0)` / `a AND xor(1,0)` are calls
-        def operandEndsBefore(pos: Int): Boolean = {
-          var p = pos - 1
-          while (p >= 0 && out.charAt(p).isWhitespace) p -= 1
-          if (p < 0) false
-          else {
-            val c = out.charAt(p)
-            if (c == ')' || c == ']' || c == '\'') true
-            else if (c.isLetterOrDigit || c == '_') {
-              var w = p
-              while (w >= 0 && (out.charAt(w).isLetterOrDigit || out.charAt(w) == '_')) w -= 1
-              !xorBoundaryKw(out.substring(w + 1, p + 1).toLowerCase) &&
-                !Set("and", "or", "not", "in", "between", "like")(
-                  out.substring(w + 1, p + 1).toLowerCase)
-            } else false
-          }
-        }
+        // ')', ']' or a literal — SqlScan.operandEndsBefore); otherwise it
+        // is the registered xor(a,b) function in call position — `TRUE XOR
+        // (x)` is infix even though a '(' follows, `SELECT xor(1,0)` /
+        // `a AND xor(1,0)` are calls
+        val xorOperandBoundary =
+          xorBoundaryKw ++ Set("and", "not", "in", "between", "like")
         val xorRe = """(?i)\bXOR\b""".r
         xorRe.findAllMatchIn(out)
-          .find(m => !mask(m.start) && operandEndsBefore(m.start)).foreach { m =>
-          val (ls, rs) = xorOperandBounds(out, mask, m.start, m.end)
+          .find(m => !mask(m.start) &&
+            operandEndsBefore(out, m.start, xorOperandBoundary)).foreach { m =>
+          val (ls, rs) = infixOperandBounds(out, mask, m.start, m.end, xorBoundaryKw)
           val lhs = out.substring(ls, m.start).trim
           val rhs = out.substring(m.end, rs).trim
           if (lhs.nonEmpty && rhs.nonEmpty) {
