@@ -923,9 +923,13 @@ object GraftSql {
     // index, JSON-text path alike), anything else stays Spark-native. A `[`
     // after a keyword, `(`/`,`, an operator, or the `ARRAY` constructor word
     // is an array literal.
+    // XOR/RLIKE included (grammar-fuzz find, r13): an array literal as the
+    // right operand of an infix keyword (`a XOR [1, 0] @> (1)`) must not
+    // read as a subscript of the keyword word
     val kw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "THEN", "ELSE",
       "WHEN", "IN", "ON", "BY", "AS", "VALUES", "RETURN", "UNION", "ALL",
-      "DISTINCT", "HAVING", "SET", "BETWEEN", "LIKE", "ILIKE", "ARRAY")
+      "DISTINCT", "HAVING", "SET", "BETWEEN", "LIKE", "ILIKE", "RLIKE",
+      "XOR", "ARRAY")
     guard = 0
     changed = true
     while (changed && guard < 64) {
@@ -1029,18 +1033,14 @@ object GraftSql {
     // branches: Spark has no common type for STRING and BOOLEAN, but the
     // reference is dynamically typed and renders the boolean as its string
     // form. Wrap the bare booleans in CAST(... AS STRING) — only when the
-    // same CASE span actually mixes the two, so typed CASEs stay untouched.
-    s = replaceOutsideLiterals(
-      """(?is)\bCASE\b(?:[^']|'(?:[^']|'')*')*?\bEND\b""".r, s) { m =>
-      val span = m.matched
-      val hasStr = """(?is)\b(?:THEN|ELSE)\s+'""".r.findFirstIn(span).isDefined
-      val hasBool =
-        """(?i)\b(?:THEN|ELSE)\s+(?:TRUE|FALSE)\b""".r.findFirstIn(span).isDefined
-      if (hasStr && hasBool)
-        mapOutsideLiterals(span)(_.replaceAll(
-          """(?i)\b(THEN|ELSE)\s+(TRUE|FALSE)\b""", "$1 CAST($2 AS STRING)"))
-      else span
-    }
+    // same CASE LEVEL actually mixes the two, so typed CASEs stay
+    // untouched. Spans come from SqlScan.matchingCaseEnd, not a lazy
+    // CASE…END regex: a nested CASE in the condition (`CASE WHEN CASE …
+    // END <= x THEN 'y' ELSE FALSE END`) made the regex close the span at
+    // the INNER END and miss the outer mix (grammar-fuzz find, r13), and
+    // the per-level check keeps an inner all-boolean CASE boolean even
+    // when its outer level mixes.
+    s = rewriteMixedCase(s)
     // INTERVAL '<n>' <unit> - <operand>: Spark's type calculus rejects an
     // interval minuend, but the reference's kernel swaps the operands and
     // negates (datatypes/intervals.py:141-150 — signum=-1, INTERVAL left
@@ -1165,6 +1165,50 @@ object GraftSql {
       s"ip_in_subnet(${m.group(1)}, '${m.group(2)}')"
     }
     s
+  }
+
+  /** See the call site in [[rewriteDialectSpellings]]: per-CASE-level
+    * STRING/BOOLEAN branch mixing, nested-CASE-correct. Processes the first
+    * CASE block (inner levels recursively first), then the remainder of the
+    * string. */
+  private def rewriteMixedCase(s: String): String = {
+    val mask = literalMask(s)
+    """(?i)\bCASE\b""".r.findAllMatchIn(s).find(m => !mask(m.start)) match {
+      case None => s
+      case Some(m) =>
+        val ce = matchingCaseEnd(s, mask, m.start)
+        if (ce < 0) s // unmatched CASE: leave the tail for Spark's parser
+        else {
+          val innerDone = rewriteMixedCase(s.substring(m.start + 4, ce - 3))
+          val block = mixedCaseLevel(
+            s.substring(m.start, m.start + 4) + innerDone + s.substring(ce - 3, ce))
+          s.substring(0, m.start) + block + rewriteMixedCase(s.substring(ce))
+        }
+    }
+  }
+
+  /** Wrap bare TRUE/FALSE branches of THIS CASE level in CAST(… AS STRING)
+    * when the level also has a string-literal branch. Positions inside
+    * nested CASE blocks belong to their own level and are excluded. */
+  private def mixedCaseLevel(block: String): String = {
+    val mask = literalMask(block)
+    val nested = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    for (m <- """(?i)\bCASE\b""".r.findAllMatchIn(block)
+         if m.start >= 4 && !mask(m.start)
+         if nested.forall(sp => m.start >= sp._2)) {
+      val e = matchingCaseEnd(block, mask, m.start)
+      if (e >= 0) nested += ((m.start, e))
+    }
+    def level0(p: Int): Boolean =
+      !mask(p) && nested.forall(sp => p < sp._1 || p >= sp._2)
+    val boolRe = """(?i)\b(THEN|ELSE)\s+(TRUE|FALSE)\b""".r
+    val hasStr = """(?is)\b(?:THEN|ELSE)\s+'""".r
+      .findAllMatchIn(block).exists(m => level0(m.start))
+    val hasBool = boolRe.findAllMatchIn(block).exists(m => level0(m.start))
+    if (!(hasStr && hasBool)) block
+    else boolRe.replaceAllIn(block, m =>
+      if (level0(m.start)) s"${m.group(1)} CAST(${m.group(2)} AS STRING)"
+      else m.matched)
   }
 
   // -- DISTINCT ON -----------------------------------------------------------

@@ -212,6 +212,13 @@ private[graft] object SqlScan {
   def exprStart(sql: String, mask: Array[Boolean], l: Int): Int = {
     var start = operandStart(sql, mask, l)
     if (start < 0) return -1
+    // the operand IS a CASE expression's END: extend to the matching CASE
+    // (`CASE … END <= ANY (...)` — grammar-fuzz find, r13; the bare END
+    // word would otherwise be spliced mid-expression)
+    if (sql.substring(start, l + 1).equalsIgnoreCase("end")) {
+      val cs = matchingCaseStart(sql, mask, l)
+      if (cs >= 0) start = cs
+    }
     var changed = true
     while (changed) {
       changed = false
@@ -327,12 +334,36 @@ private[graft] object SqlScan {
       case PrevTok.Sym(_) => true // '(', ',', comparison ops
     }
 
+  /** Index just past the END matching the CASE whose first char sits at
+    * `caseStart`, tracking nesting; -1 if unmatched. Forward dual of
+    * [[matchingCaseStart]]. */
+  def matchingCaseEnd(sql: String, mask: Array[Boolean], caseStart: Int): Int = {
+    var depth = 1
+    var i = caseStart + 4 // skip over the "case" word itself
+    while (i < sql.length) {
+      if (!mask(i) && (sql.charAt(i).isLetter || sql.charAt(i) == '_')) {
+        var we = i
+        while (we < sql.length && !mask(we) &&
+          (sql.charAt(we).isLetterOrDigit || sql.charAt(we) == '_')) we += 1
+        val word = sql.substring(i, we).toLowerCase
+        if (word == "case") depth += 1
+        else if (word == "end") { depth -= 1; if (depth == 0) return we }
+        i = we
+      } else i += 1
+    }
+    -1
+  }
+
   /** Operand span for an infix keyword operator at [xs, xe): returns
     * (lhsStart, rhsEnd) where each side extends to the nearest depth-0
     * boundary — a comma, an unbalanced paren/bracket, a `boundaryKw` word,
-    * or the string end. Used by the XOR splice with its OR-precedence
-    * boundary set; reusable by any infix keyword with a boundary set at the
-    * operator's precedence level. */
+    * or the string end. A complete CASE…END block is ONE operand unit: the
+    * backward scan steps over it when it hits the block's END, the forward
+    * scan when it hits its CASE (grammar-fuzz find, r13 — `CASE … END XOR
+    * x` must capture the whole CASE, not stop at the END keyword).
+    * Used by the XOR splice with its OR-precedence boundary set; reusable
+    * by any infix keyword with a boundary set at the operator's precedence
+    * level. */
   def infixOperandBounds(
       s: String, mask: Array[Boolean], xs: Int, xe: Int,
       boundaryKw: Set[String]): (Int, Int) = {
@@ -351,7 +382,11 @@ private[graft] object SqlScan {
         var w = i
         while (w >= 0 && (s.charAt(w).isLetterOrDigit || s.charAt(w) == '_')) w -= 1
         val word = s.substring(w + 1, i + 1).toLowerCase
-        if (depth == 0 && boundaryKw(word)) { lhsStart = i + 1; done = true }
+        if (depth == 0 && word == "end") {
+          val cs = matchingCaseStart(s, mask, i)
+          if (cs >= 0) i = cs - 1
+          else { lhsStart = i + 1; done = true } // unmatched: treat as boundary
+        } else if (depth == 0 && boundaryKw(word)) { lhsStart = i + 1; done = true }
         else i = w
       } else i -= 1
     }
@@ -370,7 +405,11 @@ private[graft] object SqlScan {
         var w = j
         while (w < s.length && (s.charAt(w).isLetterOrDigit || s.charAt(w) == '_')) w += 1
         val word = s.substring(j, w).toLowerCase
-        if (depth == 0 && boundaryKw(word)) { rhsEnd = j; done = true }
+        if (depth == 0 && word == "case") {
+          val ce = matchingCaseEnd(s, mask, j)
+          if (ce >= 0) j = ce
+          else { rhsEnd = j; done = true } // unmatched: treat as boundary
+        } else if (depth == 0 && boundaryKw(word)) { rhsEnd = j; done = true }
         else j = w
       } else j += 1
     }

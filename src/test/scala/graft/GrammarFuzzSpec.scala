@@ -1,0 +1,320 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Grammar-driven differential fuzz over EVERY GraftSql rewrite trigger
+  * (r12 VERDICT #3 — grow the fuzz tier from XOR-only into a generator
+  * that composes the triggers in operand and operator positions).
+  *
+  * A typed expression AST (int / bool / string) generates statements whose
+  * ground truth is evaluated in Scala; each node is a rewrite trigger or a
+  * composition point that places triggers in operand positions of other
+  * operators:
+  *
+  *   numeric spellings   0x1F hex, 1_000 underscores, INTEGER '42' typed
+  *   string prefixes     b'...', r'...'
+  *   bracket arrays      [a,b,c] literals, 0-based [k] subscripts,
+  *                       cardinality, @> containment (array and tuple RHS)
+  *   JSON accessors      -> / ->> on inline JSON, chained, inside CAST
+  *   quantified cmp      = / <> / < / > / <= / >= ANY|ALL over array RHS,
+  *                       with arithmetic-expression LHS (exprStart capture)
+  *   infix XOR           precedence-aware emission (OR < XOR < AND < NOT)
+  *   INTERVAL arith      expression-LEADING minuend swap vs operand-position
+  *                       (ts - INTERVAL) and plus-chains — the r12 guard
+  *   EXTRACT computed    DECADE / CENTURY
+  *   CASE mixing         STRING-literal + bare boolean branches
+  *   @@vars              IS NULL expression position
+  *   table functions     GENERATE_SERIES / UNNEST in FROM, DISTINCT ON
+  *
+  * Emission parenthesizes a child only when its precedence is LOWER than
+  * the operator requires, so the statements exercise the engine's
+  * precedence handling instead of hiding it behind full parens. Every
+  * statement also carries a hazard string literal (trigger tokens inside
+  * quotes) that must come back byte-identical — no rewrite may see literal
+  * content as SQL.
+  */
+class GrammarFuzzSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+  private lazy val g = Graft(spark)
+
+  // ---- typed AST. prec: OR 1 < XOR 2 < AND 3 < NOT 4 < cmp 5 <
+  // additive 6 < multiplicative 7 < primary 9.
+  private sealed trait E { def prec: Int; def sql: String }
+  private def wrap(e: E, need: Int): String =
+    if (e.prec < need) s"(${e.sql})" else e.sql
+
+  private sealed trait IE extends E { def v: Long }
+  private sealed trait BE extends E { def v: Boolean }
+  private sealed trait SE extends E { def v: String }
+
+  // ---- integer nodes
+  private case class ILit(n: Long, spelling: Int) extends IE {
+    def v = n; def prec = 9
+    def sql = spelling match {
+      case 1 if n >= 0 => "0x" + java.lang.Long.toHexString(n).toUpperCase
+      case 2 if n >= 10 =>
+        val d = n.toString; d.substring(0, 1) + "_" + d.substring(1)
+      case 3 if n >= 0 => s"INTEGER '$n'"
+      case _ => n.toString
+    }
+  }
+  private case class IAdd(l: IE, r: IE, plus: Boolean) extends IE {
+    def v = if (plus) l.v + r.v else l.v - r.v
+    def prec = 6
+    def sql = s"${wrap(l, 6)} ${if (plus) "+" else "-"} ${wrap(r, 7)}"
+  }
+  private case class IMul(l: IE, r: IE, times: Boolean) extends IE {
+    def v = if (times) l.v * r.v else l.v % r.v
+    def prec = 7
+    def sql = s"${wrap(l, 7)} ${if (times) "*" else "%"} ${wrap(r, 9)}"
+  }
+  private case class ISubscript(elems: Seq[IE], k: Int) extends IE {
+    def v = elems(k).v; def prec = 9
+    def sql = s"[${elems.map(_.sql).mkString(", ")}][$k]" // 0-based
+  }
+  private case class ICard(elems: Seq[IE]) extends IE {
+    def v = elems.size.toLong; def prec = 9
+    def sql = s"cardinality([${elems.map(_.sql).mkString(", ")}])"
+  }
+  private case class IJson(n: Long, nested: Boolean) extends IE {
+    def v = n; def prec = 9
+    def sql =
+      if (nested) s"""CAST('{"a":{"b":$n}}' -> 'a' ->> 'b' AS BIGINT)"""
+      else s"""CAST('{"k":$n}' ->> 'k' AS BIGINT)"""
+  }
+  private case class IExtract(year: Int, decade: Boolean) extends IE {
+    def v = if (decade) year / 10 else (year - 1) / 100 + 1
+    def prec = 9
+    def sql = s"EXTRACT(${if (decade) "DECADE" else "CENTURY"}" +
+      s" FROM TIMESTAMP '$year-03-05 01:02:03')"
+  }
+  private case class ICase(c: BE, t: IE, e: IE) extends IE {
+    def v = if (c.v) t.v else e.v; def prec = 9
+    def sql = s"CASE WHEN ${c.sql} THEN ${t.sql} ELSE ${e.sql} END"
+  }
+
+  // ---- boolean nodes
+  private case class BLit(b: Boolean) extends BE {
+    def v = b; def prec = 9; def sql = if (b) "TRUE" else "FALSE"
+  }
+  private case class BCmp(l: IE, r: IE, op: String) extends BE {
+    def v = op match {
+      case "=" => l.v == r.v case "<>" => l.v != r.v case "<" => l.v < r.v
+      case ">" => l.v > r.v case "<=" => l.v <= r.v case ">=" => l.v >= r.v
+    }
+    def prec = 5
+    def sql = s"${wrap(l, 6)} $op ${wrap(r, 6)}"
+  }
+  private case class BNot(x: BE) extends BE {
+    def v = !x.v; def prec = 4; def sql = s"NOT ${wrap(x, 4)}"
+  }
+  private case class BAnd(l: BE, r: BE) extends BE {
+    def v = l.v && r.v; def prec = 3
+    def sql = s"${wrap(l, 3)} AND ${wrap(r, 3)}"
+  }
+  private case class BXor(l: BE, r: BE) extends BE {
+    def v = l.v ^ r.v; def prec = 2
+    def sql = s"${wrap(l, 2)} XOR ${wrap(r, 2)}"
+  }
+  private case class BOr(l: BE, r: BE) extends BE {
+    def v = l.v || r.v; def prec = 1
+    def sql = s"${wrap(l, 1)} OR ${wrap(r, 1)}"
+  }
+  private case class BQuant(l: IE, op: String, any: Boolean, arr: Seq[IE]) extends BE {
+    def cmp(a: Long, b: Long) = op match {
+      case "=" => a == b case "<>" => a != b case "<" => a < b
+      case ">" => a > b case "<=" => a <= b case ">=" => a >= b
+    }
+    def v = if (any) arr.exists(e => cmp(l.v, e.v)) else arr.forall(e => cmp(l.v, e.v))
+    def prec = 5
+    def sql = s"${wrap(l, 6)} $op ${if (any) "ANY" else "ALL"}" +
+      s" ([${arr.map(_.sql).mkString(", ")}])"
+  }
+  private case class BContains(lhs: Seq[Long], rhs: Seq[Long], tuple: Boolean) extends BE {
+    def v = rhs.forall(lhs.contains); def prec = 5
+    def sql = s"[${lhs.mkString(", ")}] @> " +
+      (if (tuple) s"(${rhs.mkString(", ")})" else s"ARRAY(${rhs.mkString(", ")})")
+  }
+  private case object BVarNull extends BE {
+    def v = true; def prec = 5; def sql = "@@some_session_var IS NULL"
+  }
+
+  // ---- string nodes (no backslashes — r'' prefix stripping leaves Spark's
+  // escape handling in effect, so a backslash would not round-trip)
+  private case class SLit(s: String, prefix: String) extends SE {
+    def v = s; def prec = 9
+    def sql = s"$prefix'${s.replace("'", "''")}'"
+  }
+  private case class SJson(s: String, text: Boolean) extends SE {
+    def v = s; def prec = 9
+    def sql = s"""'{"k":"$s"}' ${if (text) "->>" else "->"} 'k'"""
+  }
+  private case class SCaseMixed(c: BE, t: String) extends SE {
+    def v = if (c.v) t else "false"; def prec = 9
+    def sql = s"CASE WHEN ${c.sql} THEN '$t' ELSE FALSE END"
+  }
+  private case class SInterval(day: Int, n: Int, leading: Boolean, unit: String) extends SE {
+    // leading: INTERVAL - ts (reference minuend swap); else ts - INTERVAL.
+    // Both subtract; ground truth via LocalDateTime (fixed dates far from
+    // any DST transition in the session zone).
+    def base = java.time.LocalDateTime.of(2024, 1, day, 6, 30, 0)
+    def shifted = unit match {
+      case "DAY" => base.minusDays(n)
+      case "HOUR" => base.minusHours(n)
+    }
+    def v = shifted.toString.replace('T', ' ') + (if (shifted.getSecond == 0) ":00" else "")
+    def prec = 9
+    def ts = f"TIMESTAMP '2024-01-$day%02d 06:30:00'"
+    def sql =
+      if (leading) s"CAST(INTERVAL '$n' $unit - $ts AS STRING)"
+      else s"CAST($ts - INTERVAL '$n' $unit AS STRING)"
+  }
+  private case class SConcat(l: SE, r: SE) extends SE {
+    def v = l.v + r.v; def prec = 9
+    def sql = s"concat(${l.sql}, ${r.sql})"
+  }
+
+  // ---- generator
+  private val hazards = Seq(
+    "x XOR y", "a -> 1", "-- nope", "b''c", "@@v", "0x1F", "1_0",
+    "INTERVAL ''1'' DAY - ts", "[1,2][0]", "= ANY(a)", "FROM t", "JOIN u",
+    "INTEGER ''9''", "EXTRACT(DECADE FROM x)", "GENERATE_SERIES(1,2)")
+
+  private def genI(r: Random, depth: Int): IE =
+    if (depth == 0) genILeaf(r)
+    else r.nextInt(7) match {
+      case 0 => IAdd(genI(r, depth - 1), genI(r, depth - 1), r.nextBoolean())
+      case 1 =>
+        val rhs = genILeaf(r)
+        IMul(genI(r, depth - 1),
+          if (!rhs.sql.startsWith("0") && rhs.v != 0) rhs else ILit(3 + r.nextInt(5), 0),
+          times = r.nextBoolean() || rhs.v == 0)
+      case 2 =>
+        val n = 2 + r.nextInt(3)
+        ISubscript(Seq.fill(n)(genILeaf(r)), r.nextInt(n))
+      case 3 => ICard(Seq.fill(1 + r.nextInt(4))(genILeaf(r)))
+      case 4 => ICase(genB(r, math.min(depth - 1, 1)), genILeaf(r), genILeaf(r))
+      case _ => genILeaf(r)
+    }
+
+  private def genILeaf(r: Random): IE = r.nextInt(6) match {
+    case 0 => IJson(r.nextInt(1000).toLong, r.nextBoolean())
+    case 1 => IExtract(1850 + r.nextInt(300), r.nextBoolean())
+    case _ => ILit(r.nextInt(2000).toLong, r.nextInt(4))
+  }
+
+  private def genB(r: Random, depth: Int): BE =
+    if (depth == 0) r.nextInt(4) match {
+      case 0 => BLit(r.nextBoolean())
+      case 1 => BCmp(genILeaf(r), genILeaf(r),
+        Seq("=", "<>", "<", ">", "<=", ">=")(r.nextInt(6)))
+      case 2 =>
+        val lhsSeq = Seq.fill(2 + r.nextInt(3))(r.nextInt(10).toLong)
+        BContains(lhsSeq,
+          Seq.fill(1 + r.nextInt(2))(
+            if (r.nextBoolean()) lhsSeq(r.nextInt(lhsSeq.size)) else r.nextInt(10).toLong),
+          r.nextBoolean())
+      case _ => BVarNull
+    } else r.nextInt(6) match {
+      case 0 => BNot(genB(r, depth - 1))
+      case 1 => BAnd(genB(r, depth - 1), genB(r, depth - 1))
+      case 2 => BXor(genB(r, depth - 1), genB(r, depth - 1))
+      case 3 => BOr(genB(r, depth - 1), genB(r, depth - 1))
+      case 4 => BQuant(genI(r, 1), Seq("=", "<>", "<", ">", "<=", ">=")(r.nextInt(6)),
+        r.nextBoolean(), Seq.fill(1 + r.nextInt(3))(genILeaf(r)))
+      case _ => BCmp(genI(r, depth - 1), genI(r, depth - 1),
+        Seq("=", "<>", "<", ">", "<=", ">=")(r.nextInt(6)))
+    }
+
+  private def genS(r: Random, depth: Int): SE =
+    if (depth == 0) r.nextInt(3) match {
+      case 0 => SLit(Seq("plain text", "a b c", "xor and or", "k1")(r.nextInt(4)),
+        Seq("", "b", "r", "B", "R")(r.nextInt(5)))
+      case 1 => SJson(Seq("alpha", "be ta", "g", "d4")(r.nextInt(4)), r.nextBoolean())
+      case _ => SInterval(10 + r.nextInt(15), 1 + r.nextInt(9),
+        r.nextBoolean(), if (r.nextBoolean()) "DAY" else "HOUR")
+    } else r.nextInt(3) match {
+      case 0 => SConcat(genS(r, depth - 1), genS(r, depth - 1))
+      case 1 => SCaseMixed(genB(r, 1), Seq("yes", "maybe so")(r.nextInt(2)))
+      case _ => genS(r, 0)
+    }
+
+  private def runOne(i: Int, sql: String, check: org.apache.spark.sql.Row => Unit): Unit = {
+    val row =
+      try g.query(sql).head()
+      catch {
+        case e: Throwable =>
+          fail(s"[case $i] query failed: $sql\n${e.getMessage.take(400)}")
+      }
+    try check(row)
+    catch {
+      case e: org.scalatest.exceptions.TestFailedException =>
+        fail(s"[case $i] ${e.getMessage} for: $sql")
+    }
+  }
+
+  test("1,100 composed statements: every rewrite trigger in operand and operator positions") {
+    val r = new Random(20260815L)
+    var triggers = Map[String, Int]().withDefaultValue(0)
+    (1 to 1100).foreach { i =>
+      val hazard = hazards(r.nextInt(hazards.length))
+      val (exprSql, expected): (String, Any) = r.nextInt(3) match {
+        case 0 => val e = genI(r, 1 + r.nextInt(2)); (e.sql, e.v)
+        case 1 => val e = genB(r, 1 + r.nextInt(2)); (e.sql, e.v)
+        case _ => val e = genS(r, 1 + r.nextInt(2)); (e.sql, e.v)
+      }
+      Seq("XOR", "->", "0x", "_", "INTEGER '", "ANY", "ALL", "@>", "@@",
+        "EXTRACT", "INTERVAL", "[").foreach { t =>
+        if (exprSql.contains(t)) triggers += t -> (triggers(t) + 1)
+      }
+      // context: plain select / trailing semicolon / coalesce-wrapped /
+      // WHERE-predicate (bool only) / UNION arm
+      val ctx = r.nextInt(5)
+      val stmt = ctx match {
+        case 1 => s"SELECT $exprSql AS v, '$hazard' AS h;"
+        case 2 => s"SELECT coalesce($exprSql, $exprSql) AS v, '$hazard' AS h"
+        case 3 if expected.isInstanceOf[Boolean] =>
+          s"SELECT count(*) AS v, '$hazard' AS h FROM (SELECT 1) WHERE $exprSql"
+        case 4 => s"SELECT $exprSql AS v, '$hazard' AS h UNION ALL SELECT $exprSql, '$hazard'"
+        case _ => s"SELECT $exprSql AS v, '$hazard' AS h"
+      }
+      val want: Any =
+        if (ctx == 3 && expected.isInstanceOf[Boolean])
+          (if (expected.asInstanceOf[Boolean]) 1L else 0L)
+        else expected
+      runOne(i, stmt, { row =>
+        assert(row.get(0) != null && row.get(0).toString == want.toString,
+          s"value mismatch: got ${row.get(0)}, want $want")
+        assert(row.getString(1) == hazard.replace("''", "'"), "hazard literal corrupted")
+      })
+    }
+    // the generator must actually cover every trigger family
+    Seq("XOR", "->", "0x", "INTEGER '", "ANY", "@>", "EXTRACT", "INTERVAL", "[")
+      .foreach(t => assert(triggers(t) >= 20, s"trigger $t seen only ${triggers(t)}x"))
+  }
+
+  test("table-function and DISTINCT ON statement templates") {
+    val r = new Random(815L)
+    (1 to 40).foreach { i =>
+      val a = 1 + r.nextInt(5)
+      val b = a + r.nextInt(20)
+      runOne(i, s"SELECT sum(g) AS v, '${hazards(r.nextInt(hazards.length))}' AS h" +
+        s" FROM GENERATE_SERIES($a, $b) AS t(g)",
+        row => assert(row.getLong(0) == (a.toLong + b) * (b - a + 1) / 2))
+    }
+    (1 to 20).foreach { i =>
+      val xs = Seq.fill(2 + r.nextInt(4))(r.nextInt(100))
+      runOne(100 + i,
+        s"SELECT sum(w) AS v FROM UNNEST([${xs.mkString(", ")}]) AS u(w)",
+        row => assert(row.getLong(0) == xs.map(_.toLong).sum))
+    }
+    // DISTINCT ON over an inline relation: first row per key under ORDER BY
+    val rows = g.query(
+      "SELECT DISTINCT ON (k) k, s FROM" +
+        " (VALUES (1, 'b'), (1, 'a'), (2, 'c'), (2, 'd'), (3, 'e')) AS t(k, s)" +
+        " ORDER BY k, s").collect()
+    assert(rows.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "c"), (3, "e")))
+  }
+}
