@@ -86,7 +86,9 @@ object ScaleCheck {
     "p114_kcenter_coreset",
     "p115_fuzzy_match", "p116_dq_rules", "p117_shard_manifest",
     "p118_cluster_purity",
-    "p119_bloom_fp_calibration", "p120_ngram_novelty", "p121_heaps_fit")
+    "p119_bloom_fp_calibration", "p120_ngram_novelty", "p121_heaps_fit",
+    "p122_tokenizer_fertility", "p123_normalization_impact",
+    "p124_annotator_agreement")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
