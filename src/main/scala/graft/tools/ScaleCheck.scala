@@ -88,7 +88,9 @@ object ScaleCheck {
     "p118_cluster_purity",
     "p119_bloom_fp_calibration", "p120_ngram_novelty", "p121_heaps_fit",
     "p122_tokenizer_fertility", "p123_normalization_impact",
-    "p124_annotator_agreement")
+    "p124_annotator_agreement",
+    "p125_pca_power", "p126_stump_split", "p127_js_source_divergence",
+    "p128_lsh_bucket_skew", "p129_dedup_source_precedence", "p130_rp_sketch")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

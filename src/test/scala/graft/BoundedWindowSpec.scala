@@ -50,6 +50,9 @@ class BoundedWindowSpec extends AnyFunSuite {
       "Heaps curve cumulates over the 10-row decile frame"),
     "p121_heaps_fit" -> (64L,
       "OLS cumulations run over the 10-row decile frame — the p83 class"),
+    "p126_stump_split" -> (65536L,
+      "stump ranking runs over the <= dims*bins candidate frame (960 cells at " +
+        "any corpus size; bound covers whichever descendant the metric reads)"),
     "p118_cluster_purity" -> (1024L,
       "kmeans-init numbering over a LIMIT K frame (p47's whitelisted pattern); " +
         "appears twice because the init subtree feeds both assign passes"),
