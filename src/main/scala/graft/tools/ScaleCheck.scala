@@ -90,7 +90,8 @@ object ScaleCheck {
     "p122_tokenizer_fertility", "p123_normalization_impact",
     "p124_annotator_agreement",
     "p125_pca_power", "p126_stump_split", "p127_js_source_divergence",
-    "p128_lsh_bucket_skew", "p129_dedup_source_precedence", "p130_rp_sketch")
+    "p128_lsh_bucket_skew", "p129_dedup_source_precedence", "p130_rp_sketch",
+    "p131_naive_bayes", "p132_score_calibration", "p133_roc_auc")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

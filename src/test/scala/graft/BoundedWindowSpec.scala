@@ -53,6 +53,10 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p126_stump_split" -> (65536L,
       "stump ranking runs over the <= dims*bins candidate frame (960 cells at " +
         "any corpus size; bound covers whichever descendant the metric reads)"),
+    "p133_roc_auc" -> (10001L,
+      "the Mann-Whitney cumulation runs over the 4dp-quantized distinct-score " +
+        "frame — <= 10^4+1 rows at ANY corpus size (value-domain bounded, " +
+        "the p83 class)"),
     "p118_cluster_purity" -> (1024L,
       "kmeans-init numbering over a LIMIT K frame (p47's whitelisted pattern); " +
         "appears twice because the init subtree feeds both assign passes"),
