@@ -317,4 +317,90 @@ class GrammarFuzzSpec extends AnyFunSuite {
     assert(rows.map(x => (x.getInt(0), x.getString(1))).toSeq ==
       Seq((1, "a"), (2, "c"), (3, "e")))
   }
+
+  test("balanced-splice rewrites: EXTRACT computed, DATEDIFF, ARRAY_AGG LIMIT, subscripts, typed literals") {
+    val r = new Random(1337L)
+    def hz = hazards(r.nextInt(hazards.length))
+
+    // EXTRACT computed fields, operand both bare and coalesce-wrapped (the
+    // wrap forces the splice through nested balanced parens)
+    (1 to 40).foreach { i =>
+      val (d, h, mi, sec, ms) =
+        (10 + r.nextInt(18), r.nextInt(24), r.nextInt(60), r.nextInt(60), r.nextInt(1000))
+      val ts = f"TIMESTAMP '2024-02-$d%02d $h%02d:$mi%02d:$sec%02d.$ms%03d'"
+      val operand = if (r.nextBoolean()) ts else s"coalesce($ts, $ts)"
+      val (field, want): (String, Any) = r.nextInt(4) match {
+        case 0 => ("MILLISECONDS", (sec * 1000 + ms).toLong)
+        case 1 =>
+          val epochDay = java.time.LocalDate.of(2024, 2, d).toEpochDay
+          ("JULIAN", epochDay + 2440587.5)
+        case 2 => ("DATE", f"2024-02-$d%02d")
+        case _ => ("TIME", f"$h%02d:$mi%02d:$sec%02d")
+      }
+      runOne(i, s"SELECT CAST(EXTRACT($field FROM $operand) AS STRING) AS v, '$hz' AS h",
+        row => assert(row.getString(0) == want.toString,
+          s"EXTRACT($field): got ${row.getString(0)}, want $want"))
+    }
+
+    // DATEDIFF('unit', a, b) → timestampdiff, both signs, unit synonyms
+    (1 to 40).foreach { i =>
+      val a = java.time.LocalDateTime.of(2024, 1 + r.nextInt(11), 1 + r.nextInt(28),
+        r.nextInt(24), r.nextInt(60), 0)
+      val b = a.plusHours(r.nextInt(2000).toLong - 1000)
+      val (unit, cu) = Seq(
+        ("day", java.time.temporal.ChronoUnit.DAYS),
+        ("days", java.time.temporal.ChronoUnit.DAYS),
+        ("hour", java.time.temporal.ChronoUnit.HOURS),
+        ("hours", java.time.temporal.ChronoUnit.HOURS),
+        ("minute", java.time.temporal.ChronoUnit.MINUTES))(r.nextInt(5))
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      runOne(100 + i,
+        s"SELECT DATEDIFF('$unit', TIMESTAMP '${a.format(fmt)}'," +
+          s" TIMESTAMP '${b.format(fmt)}') AS v, '$hz' AS h",
+        row => assert(row.getLong(0) == cu.between(a, b),
+          s"DATEDIFF $unit: got ${row.getLong(0)}, want ${cu.between(a, b)}"))
+    }
+
+    // ARRAY_AGG(expr LIMIT k): cardinality is min(k, n) regardless of order;
+    // expression operand exercises the inner-LIMIT tail match
+    (1 to 30).foreach { i =>
+      val n = 1 + r.nextInt(12)
+      val k = 1 + r.nextInt(15)
+      val inner = if (r.nextBoolean()) "g" else "g * 2 + 1"
+      runOne(200 + i,
+        s"SELECT cardinality(ARRAY_AGG($inner LIMIT $k)) AS v, '$hz' AS h" +
+          s" FROM GENERATE_SERIES(1, $n) AS t(g)",
+        row => assert(row.get(0).toString.toLong == math.min(k, n).toLong))
+    }
+
+    // string-keyed subscripts on JSON text (graft_extract dispatch), chained
+    // after -> and on nested bracket-array literals
+    (1 to 30).foreach { i =>
+      val x = r.nextInt(1000)
+      val (sql, want) = r.nextInt(3) match {
+        case 0 => (s"""CAST(('{"a": $x, "b": 2}')['a'] AS BIGINT)""", x.toLong)
+        case 1 => (s"""CAST(('{"a": {"b": $x}}' -> 'a')['b'] AS BIGINT)""", x.toLong)
+        case _ =>
+          val m = Seq.fill(2)(Seq.fill(2)(r.nextInt(100).toLong))
+          val (ri, ci) = (r.nextInt(2), r.nextInt(2))
+          (s"[[${m(0).mkString(", ")}], [${m(1).mkString(", ")}]][$ri][$ci]", m(ri)(ci))
+      }
+      runOne(300 + i, s"SELECT $sql AS v, '$hz' AS h",
+        row => assert(row.get(0).toString.toLong == want, s"subscript: $sql"))
+    }
+
+    // DATE typed literal + UNNEST tuple form
+    (1 to 15).foreach { i =>
+      val d = 1 + r.nextInt(28)
+      runOne(400 + i,
+        f"SELECT CAST(DATE '2023-06-$d%02d' AS STRING) AS v, '$hz' AS h",
+        row => assert(row.getString(0) == f"2023-06-$d%02d"))
+    }
+    (1 to 15).foreach { i =>
+      val xs = Seq.fill(2 + r.nextInt(4))(r.nextInt(50).toLong)
+      runOne(500 + i,
+        s"SELECT sum(w) AS v FROM UNNEST((${xs.mkString(", ")})) AS u(w)",
+        row => assert(row.getLong(0) == xs.sum))
+    }
+  }
 }
