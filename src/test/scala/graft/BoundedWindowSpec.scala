@@ -53,6 +53,10 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p126_stump_split" -> (65536L,
       "stump ranking runs over the <= dims*bins candidate frame (960 cells at " +
         "any corpus size; bound covers whichever descendant the metric reads)"),
+    "p135_poisson_bootstrap" -> (512L,
+      "the CI percentile cumulation (ExactPercentile one-level histogram) " +
+        "runs over the B=200 replicate-mean frame — 200 rows at ANY corpus " +
+        "size; the corpus-sized work is the upstream map-side partial agg"),
     "p133_roc_auc" -> (10001L,
       "the Mann-Whitney cumulation runs over the 4dp-quantized distinct-score " +
         "frame — <= 10^4+1 rows at ANY corpus size (value-domain bounded, " +
