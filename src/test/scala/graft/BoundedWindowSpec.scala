@@ -53,6 +53,10 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p126_stump_split" -> (65536L,
       "stump ranking runs over the <= dims*bins candidate frame (960 cells at " +
         "any corpus size; bound covers whichever descendant the metric reads)"),
+    "p139_bh_fdr" -> (1024L,
+      "the BH step-up rank/count windows run over the per-source statistic " +
+        "frame — |sources| rows at ANY corpus size (20 here); the corpus-" +
+        "sized work is the upstream sufficient-sum partial agg"),
     "p135_poisson_bootstrap" -> (512L,
       "the CI percentile cumulation (ExactPercentile one-level histogram) " +
         "runs over the B=200 replicate-mean frame — 200 rows at ANY corpus " +
