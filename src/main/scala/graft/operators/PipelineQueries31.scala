@@ -167,17 +167,20 @@ object PipelineQueries31 {
                sum(coalesce(vnew.nv, 0)) OVER (ORDER BY tok.dec) AS cum_vocab
         FROM tok LEFT JOIN vnew ON tok.dec = vnew.dec),
       pts AS (
-        SELECT ln(CAST(cum_toks AS DOUBLE)) AS x,
-               ln(CAST(cum_vocab AS DOUBLE)) AS y
+        SELECT round(ln(CAST(cum_toks AS DOUBLE)), 9) AS x,
+               round(ln(CAST(cum_vocab AS DOUBLE)), 9) AS y
         FROM curve),
       fit AS (
-        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, sum(x * x) AS sxx
+        SELECT count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         FROM pts)
       SELECT CAST(n AS BIGINT) AS n_points,
-             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_b,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS heaps_b,
              round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-               AS heaps_lnk
+               + 0.0 AS heaps_lnk
       FROM fit""")) { (s, dir) =>
       val docs = Tables.dfSpread(s, dir, "documents")
       val mx = docs.agg(max(col("doc_id")).as("mx"))
@@ -195,15 +198,24 @@ object PipelineQueries31 {
         .na.fill(0, Seq("nv"))
         .select(col("dec"), sum(col("toks")).over(w).as("cum_toks"),
           sum(col("nv")).over(w).as("cum_vocab"))
-      val pts = curve.select(log(col("cum_toks").cast("double")).as("x"),
-        log(col("cum_vocab").cast("double")).as("y"))
-      val fit = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+      // 9dp-rounded points + DECIMAL sums: the raw-double OLS sums flapped
+      // the 6dp output 1-in-10 under DuckDB's parallel reduction order
+      val pts = curve.select(round(log(col("cum_toks").cast("double")), 9).as("x"),
+        round(log(col("cum_vocab").cast("double")), 9).as("y"))
+      val fit = pts.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,9)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,9)")).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 12).cast("decimal(38,12)"))
+          .cast("double").as("sxy"),
+        sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
+          .cast("double").as("sxx"))
       val b = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
-      fit.select(col("n").as("n_points"), round(b, 6).as("heaps_b"),
-        round((col("sy") - b * col("sx")) / col("n"), 6).as("heaps_lnk"))
+      // `+ 0.0` normalizes IEEE -0.0 (a saturated-vocab corpus fits slope
+      // exactly 0; the engines disagree on the zero's sign otherwise)
+      fit.select(col("n").as("n_points"),
+        (round(b, 6) + 0.0).as("heaps_b"),
+        (round((col("sy") - b * col("sx")) / col("n"), 6) + 0.0).as("heaps_lnk"))
     }
   )
 }

@@ -93,7 +93,8 @@ object ScaleCheck {
     "p128_lsh_bucket_skew", "p129_dedup_source_precedence", "p130_rp_sketch",
     "p131_naive_bayes", "p132_score_calibration", "p133_roc_auc",
     "p134_fairness_audit", "p135_poisson_bootstrap", "p136_mutual_information",
-    "p137_chi2_independence", "p138_welch_ttest", "p139_bh_fdr")
+    "p137_chi2_independence", "p138_welch_ttest", "p139_bh_fdr",
+    "p140_ks_test", "p141_spearman_corr", "p142_permutation_test")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

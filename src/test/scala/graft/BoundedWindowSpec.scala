@@ -53,6 +53,13 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p126_stump_split" -> (65536L,
       "stump ranking runs over the <= dims*bins candidate frame (960 cells at " +
         "any corpus size; bound covers whichever descendant the metric reads)"),
+    "p140_ks_test" -> (10001L,
+      "the ECDF cumulations run over the 4dp-quantized distinct-score " +
+        "frame — <= 10^4+1 rows at ANY corpus size (the p133 class)"),
+    "p141_spearman_corr" -> (16384L,
+      "the midrank cumulations run over the two distinct-VALUE frames " +
+        "(4dp score <= 10^4+1 rows; doc-length domain-bounded), never the " +
+        "corpus — ranks join back via broadcast"),
     "p139_bh_fdr" -> (1024L,
       "the BH step-up rank/count windows run over the per-source statistic " +
         "frame — |sources| rows at ANY corpus size (20 here); the corpus-" +
