@@ -94,7 +94,8 @@ object ScaleCheck {
     "p131_naive_bayes", "p132_score_calibration", "p133_roc_auc",
     "p134_fairness_audit", "p135_poisson_bootstrap", "p136_mutual_information",
     "p137_chi2_independence", "p138_welch_ttest", "p139_bh_fdr",
-    "p140_ks_test", "p141_spearman_corr", "p142_permutation_test")
+    "p140_ks_test", "p141_spearman_corr", "p142_permutation_test",
+    "p143_quota_apportionment", "p144_dp_noisy_counts", "p145_l_diversity")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)

@@ -53,6 +53,9 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p126_stump_split" -> (65536L,
       "stump ranking runs over the <= dims*bins candidate frame (960 cells at " +
         "any corpus size; bound covers whichever descendant the metric reads)"),
+    "p143_quota_apportionment" -> (1024L,
+      "the largest-remainder priority ranking runs over the per-source " +
+        "apportionment frame — |sources| rows at ANY corpus size (20 here)"),
     "p140_ks_test" -> (10001L,
       "the ECDF cumulations run over the 4dp-quantized distinct-score " +
         "frame — <= 10^4+1 rows at ANY corpus size (the p133 class)"),
