@@ -95,7 +95,8 @@ object ScaleCheck {
     "p134_fairness_audit", "p135_poisson_bootstrap", "p136_mutual_information",
     "p137_chi2_independence", "p138_welch_ttest", "p139_bh_fdr",
     "p140_ks_test", "p141_spearman_corr", "p142_permutation_test",
-    "p143_quota_apportionment", "p144_dp_noisy_counts", "p145_l_diversity")
+    "p143_quota_apportionment", "p144_dp_noisy_counts", "p145_l_diversity",
+    "p146_hrw_shards", "p147_retention_policy", "p148_watermark_audit")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
