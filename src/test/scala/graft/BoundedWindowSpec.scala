@@ -53,6 +53,9 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p126_stump_split" -> (65536L,
       "stump ranking runs over the <= dims*bins candidate frame (960 cells at " +
         "any corpus size; bound covers whichever descendant the metric reads)"),
+    "p150_cusum_changepoint" -> (4096L,
+      "the CUSUM cumulation and peak ranking run over the per-DAY count " +
+        "frame — bounded by the date span at ANY corpus size (~366 here)"),
     "p143_quota_apportionment" -> (1024L,
       "the largest-remainder priority ranking runs over the per-source " +
         "apportionment frame — |sources| rows at ANY corpus size (20 here)"),
