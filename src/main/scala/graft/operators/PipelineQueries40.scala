@@ -29,9 +29,11 @@ import graft.{QueryDef, Tables}
   *    seconds — the number that sizes a streaming watermark for keyed
   *    state. Per-key running max over arrival order; integer-µs exact.
   *
-  * Determinism: md5-u32 hash ranks (ties impossible at 32 bits across 65
-  * shards — and broken by shard id anyway), integer event-time µs, DECIMAL
-  * sums, 6dp-rounded shares.
+  * Determinism: 60-bit md5 hash ranks (15 hex chars — wide enough that a
+  * per-doc tie across 65 shards stays negligible at any corpus size; 32
+  * bits would reach ~2% tie probability by 50k docs, and tie order is
+  * engine-unspecified), integer event-time µs, DECIMAL sums, 6dp-rounded
+  * shares.
   */
 object PipelineQueries40 {
 
@@ -45,7 +47,7 @@ object PipelineQueries40 {
       WITH h AS (
         SELECT d.doc_id, s.range AS shard,
                CAST(('0x' || substr(md5(CAST(d.doc_id AS STRING) || '_s' ||
-                     CAST(s.range AS STRING)), 1, 8)) AS BIGINT) AS hv
+                     CAST(s.range AS STRING)), 1, 15)) AS BIGINT) AS hv
         FROM documents d CROSS JOIN range(0, $Shards) s),
       a AS (
         SELECT doc_id, arg_max(shard, hv) AS shard, max(hv) AS best
@@ -53,7 +55,7 @@ object PipelineQueries40 {
       probe AS (
         SELECT a.doc_id, a.shard,
                CASE WHEN CAST(('0x' || substr(md5(CAST(a.doc_id AS STRING)
-                      || '_s$Shards'), 1, 8)) AS BIGINT) > a.best
+                      || '_s$Shards'), 1, 15)) AS BIGINT) > a.best
                     THEN 1 ELSE 0 END AS moves
         FROM a),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM probe)
@@ -69,12 +71,12 @@ object PipelineQueries40 {
         .withColumn("shard", explode(sequence(lit(0), lit(Shards - 1))))
         .withColumn("hv", conv(substring(md5(concat(
           col("doc_id").cast("string"), lit("_s"), col("shard").cast("string"))),
-          1, 8), 16, 10).cast("bigint"))
+          1, 15), 16, 10).cast("bigint"))
       val a = h.groupBy(col("doc_id"))
         .agg(max_by(col("shard"), col("hv")).as("shard"), max(col("hv")).as("best"))
       val probe = a.select(col("doc_id"), col("shard"),
         when(conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(s"_s$Shards"))), 1, 8), 16, 10).cast("bigint") > col("best"), 1)
+          lit(s"_s$Shards"))), 1, 15), 16, 10).cast("bigint") > col("best"), 1)
           .otherwise(0).as("moves"))
       val tot = probe.agg(count(lit(1)).cast("bigint").as("n"))
       probe.crossJoin(broadcast(tot))

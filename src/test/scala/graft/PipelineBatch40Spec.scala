@@ -16,9 +16,9 @@ class PipelineBatch40Spec extends AnyFunSuite {
     BigDecimal(java.math.BigDecimal.valueOf(x)).setScale(n, RoundingMode.HALF_UP)
       .toDouble
 
-  private def md5u32(s: String): Long = {
+  private def md5u60(s: String): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
     java.lang.Long.parseLong(hex, 16)
   }
 
@@ -26,9 +26,9 @@ class PipelineBatch40Spec extends AnyFunSuite {
     val ids = Tables.df(spark, SharedSpark.sf, "documents")
       .select("doc_id").collect().map(_.getLong(0))
     val placed = ids.map { id =>
-      val hs = (0 until 64).map(sh => sh -> md5u32(s"${id}_s$sh"))
+      val hs = (0 until 64).map(sh => sh -> md5u60(s"${id}_s$sh"))
       val (shard, best) = hs.maxBy(_._2)
-      (shard, if (md5u32(s"${id}_s64") > best) 1 else 0)
+      (shard, if (md5u60(s"${id}_s64") > best) 1 else 0)
     }
     val n = ids.length.toLong
     val expected = placed.groupBy(_._1).toSeq.sortBy(_._1).map { case (sh, g) =>
