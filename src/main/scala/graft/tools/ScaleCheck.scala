@@ -97,7 +97,8 @@ object ScaleCheck {
     "p140_ks_test", "p141_spearman_corr", "p142_permutation_test",
     "p143_quota_apportionment", "p144_dp_noisy_counts", "p145_l_diversity",
     "p146_hrw_shards", "p147_retention_policy", "p148_watermark_audit",
-    "p149_benford_audit", "p150_cusum_changepoint", "p151_dedup_pair_eval")
+    "p149_benford_audit", "p150_cusum_changepoint", "p151_dedup_pair_eval",
+    "p152_kmv_intersection", "p153_degree_assortativity", "p154_psi_drift")
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
