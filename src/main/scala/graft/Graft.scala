@@ -123,6 +123,17 @@ class Graft(val spark: SparkSession) {
   }
   def prepare(name: String, sql: String): Unit = prepared(name) = sql
 
+  /** Catalog-backed schema resolver for the virtual-dataset bare-alias
+    * guard: lets GraftSql resolve an unqualified alias in a multi-relation
+    * statement when no competing relation carries the column (reference
+    * binder resolves aliases per-relation). Unknown names → None
+    * (conservative suppression). Cheap: Spark caches analyzed temp-view
+    * plans, and the guard consults this only for statements that reference
+    * an alias-bearing virtual view. */
+  private val schemaOf: String => Option[Set[String]] = name =>
+    try Some(spark.table(name).schema.fieldNames.map(_.toLowerCase).toSet)
+    catch { case _: Exception => None }
+
   private val executeRe = """(?is)^\s*EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*;?\s*$""".r
 
   def query(sql: String, args: Any*): DataFrame = queryImpl(sql, args, Map.empty)
@@ -175,7 +186,7 @@ class Graft(val spark: SparkSession) {
         return Meta.showValue(spark, name)
       case _ => ()
     }
-    val rw = GraftSql.rewrite(sql)
+    val rw = GraftSql.rewrite(sql, schemaOf)
     // $variables / $statistics are session-state-dependent — refresh per statement
     if (rw.sql.contains(graft.sources.VirtualDatasets.prefix + "variables"))
       graft.sources.VirtualDatasets.variables(spark)
@@ -252,7 +263,7 @@ class Graft(val spark: SparkSession) {
   }
 
   def explain(sql: String): String = {
-    val rw = GraftSql.rewrite(sql)
+    val rw = GraftSql.rewrite(sql, schemaOf)
     spark.sql(rw.sql).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }

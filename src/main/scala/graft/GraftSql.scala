@@ -65,7 +65,14 @@ object GraftSql {
     parts.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  def rewrite(sql: String): Rewritten = {
+  def rewrite(sql: String): Rewritten = rewrite(sql, _ => None)
+
+  /** `schemaOf` resolves a named relation to its lowercased column set
+    * (None = unknown): the virtual-dataset bare-alias guard uses it to
+    * resolve aliases that are unambiguous in a multi-relation statement
+    * because no other relation carries the column. The no-resolver overload
+    * keeps the guard purely textual (sole-relation arms only). */
+  def rewrite(sql: String, schemaOf: String => Option[Set[String]]): Rewritten = {
     var s = stripComments(sql)
     s = rewriteLiteralPrefixes(s)
     s = rewriteNumericLiterals(s)
@@ -78,7 +85,7 @@ object GraftSql {
     s = rewriteQuantified(s)
     s = rewriteDistinctOn(s)
     s = rewriteVariables(s)
-    s = rewriteVirtualTables(s)
+    s = rewriteVirtualTables(s, schemaOf)
     s = rewriteTableFunctions(s)
     Rewritten(s.trim, ranges, paths)
   }
@@ -627,102 +634,198 @@ object GraftSql {
   private val tableFnRelNames =
     Set("unnest", "generate_series", "fake", "values", "range")
 
-  /** True when `view` is the only column-contributing relation of this
-    * top-level arm (bare-alias guard of rewriteVirtualTables). Conservative
-    * on anything the textual scan can't positively identify: a depth-0
-    * derived/`LATERAL` JOIN target or a double-quoted relation name counts
-    * as "another relation" and suppresses the rewrite. Matches inside
-    * string literals are excluded (a literal `'copied FROM x'` is content,
-    * not a relation), and known table-function targets
-    * (`JOIN UNNEST(...)`) bind no columns of the view's names so they
-    * don't suppress. */
-  private def armSoleRelation(arm: String, view: String): Boolean = {
+  /** The arm's column-contributing relations OTHER than `view`, for the
+    * bare-alias guard of rewriteVirtualTables. `None` means the arm holds a
+    * relation the textual scan can't positively identify — a depth-0
+    * derived table (`FROM (SELECT...)`, `JOIN (`, a `(`-item in a FROM
+    * list), `LATERAL`, or a double-quoted relation name — and the rewrite
+    * must be suppressed unconditionally. `Some(empty)` means the view is
+    * the arm's sole relation. `Some(names)` lists competing NAMED relations
+    * whose schemas the caller may consult to resolve an otherwise-ambiguous
+    * bare alias. Matches inside string literals are excluded (a literal
+    * `'copied FROM x'` is content, not a relation), and known
+    * table-function targets (`JOIN UNNEST(...)`) bind no columns of the
+    * view's names so they don't compete. */
+  /** Strip balanced outer parens from a set-operation arm: a parenthesized
+    * arm (`A EXCEPT (SELECT ...)`) nests its whole SELECT one paren level
+    * deep, which would hide its FROM/JOIN targets from the depth-0 scans
+    * below. */
+  private def stripOuterParens(arm: String): String = {
+    var s = arm.trim
+    var changed = true
+    while (changed && s.startsWith("(")) {
+      changed = false
+      val mask = literalMask(s)
+      var d = 0
+      var i = 0
+      var close = -1
+      while (i < s.length && close < 0) {
+        if (!mask(i)) {
+          if (s.charAt(i) == '(') d += 1
+          else if (s.charAt(i) == ')') { d -= 1; if (d == 0) close = i }
+        }
+        i += 1
+      }
+      if (close == s.length - 1) { s = s.substring(1, close).trim; changed = true }
+    }
+    s
+  }
+
+  private def armCompetingRelations(rawArm: String, view: String): Option[Set[String]] = {
+    val arm = stripOuterParens(rawArm)
     val mask = literalMask(arm)
     val depth = parenDepthOf(arm, mask)
     def top(m: scala.util.matching.Regex.Match): Boolean =
       m.start < mask.length && !mask(m.start) && depth(m.start) == 0
+    // Walk each top-level FROM list: items are separated by depth-0 commas;
+    // an item that STARTS with `(` is a derived table (a `(` after an
+    // identifier is a table-function argument list, `FROM range(0, 10)`),
+    // an item that starts with an identifier contributes a relation name
+    // (its binding alias is consumed as a non-item token). The walk stops
+    // at the first clause-boundary keyword; JOIN targets are collected by
+    // the regex below and `JOIN (` by its own opaque check.
+    def fromListInfo: (Set[String], Boolean) = {
+      var names = Set.empty[String]
+      var derived = false
+      """(?i)\bFROM\b""".r.findAllMatchIn(arm).filter(top).foreach { m =>
+        var i = m.end
+        var d = 0
+        var expectItem = true // at FROM start and after each depth-0 comma
+        var done = false
+        while (i < arm.length && !done) {
+          val c = arm.charAt(i)
+          if (mask(i)) i += 1
+          else if (c == '(') {
+            if (expectItem && d == 0) { derived = true; expectItem = false }
+            d += 1; i += 1
+          } else if (c == ')') {
+            if (d == 0) done = true else { d -= 1; i += 1 }
+          } else if (c == ',' && d == 0) { expectItem = true; i += 1 }
+          else if (c.isWhitespace) i += 1
+          else if (d == 0 && (c.isLetter || c == '_' || c == '$')) {
+            var w = i
+            while (w < arm.length && (arm.charAt(w).isLetterOrDigit ||
+                arm.charAt(w) == '_' || arm.charAt(w) == '.' || arm.charAt(w) == '$')) w += 1
+            val word = arm.substring(i, w)
+            val lw = word.toLowerCase
+            if (lw != "as" && relStopWords(lw)) done = true
+            else {
+              if (expectItem && !tableFnRelNames(lw)) names += word
+              expectItem = false
+              i = w
+            }
+          } else { expectItem = false; i += 1 }
+        }
+      }
+      (names, derived)
+    }
+    val (fromNames, fromDerived) = fromListInfo
+    val joinNames =
+      """(?i)\bJOIN\s+([A-Za-z_$][\w.$]*)""".r
+        .findAllMatchIn(arm)
+        .filter(top)
+        .map(_.group(1))
+        .filterNot(w => relStopWords(w.toLowerCase))
+        .filterNot(w => tableFnRelNames(w.toLowerCase))
+        .toSet
+    val named = fromNames ++ joinNames
+    // A FROM-position derived table only COMPETES with the view when the
+    // view itself is a depth-0 relation of the arm (`FROM $view,
+    // (SELECT...) t` / `FROM (SELECT...) t JOIN $view`): then the derived
+    // table's unknown schema makes bare aliases ambiguous. When the view
+    // sits INSIDE the derived table (`FROM (SELECT alias FROM $view) sub`),
+    // the subquery is the view's own scope and the rewrite must stay
+    // enabled — the reference optimizer corpus leans on exactly that shape.
     val opaque =
       """(?i)\bJOIN\s*\(""".r.findAllMatchIn(arm).exists(top) ||
         """(?i)\bLATERAL\b""".r.findAllMatchIn(arm).exists(top) ||
-        """(?i)\b(?:FROM|JOIN)\s+"""".r.findAllMatchIn(arm).exists(top)
-    if (opaque) false
-    else {
-      val named =
-        """(?i)\b(?:FROM|JOIN)\s+([A-Za-z_$][\w.$]*(?:\s*,\s*[A-Za-z_$][\w.$]*)*)""".r
-          .findAllMatchIn(arm)
-          .filter(top)
-          .flatMap(_.group(1).split(",").map(_.trim.split("\\s+")(0)))
-          .filterNot(w => relStopWords(w.toLowerCase))
-          .filterNot(w => tableFnRelNames(w.toLowerCase))
-          .toSet
-      named.subsetOf(Set(view))
-    }
+        """(?i)\b(?:FROM|JOIN)\s+"""".r.findAllMatchIn(arm).exists(top) ||
+        (named.contains(view) && fromDerived)
+    if (opaque) None else Some(named - view)
   }
 
   /** `$planets` etc. → registered view names (Spark unquoted identifiers
     * exclude `$`; reference registry at opteryx/virtual_datasets/__init__.py:13-24).
     * `information_schema.tables/columns` → catalog-backed views (reference
     * routes the prefix as a connector, connectors/__init__.py:97). */
-  private def rewriteVirtualTables(sql: String): String = {
+  private def rewriteVirtualTables(
+      sql: String, schemaOf: String => Option[Set[String]]): String = {
     val base = mapOutsideLiterals(sql) {
       _.replaceAll("""\$([A-Za-z_]\w*)""", graft.sources.VirtualDatasets.prefix + "$1")
         .replaceAll("""(?i)\binformation_schema\.(tables|columns)\b""",
           "graft_infoschema_$1")
     }
     // per-relation column aliases (reference FlatColumn aliases=[...]):
-    // resolved only when the statement references the owning relation. A
-    // dotted occurrence is rewritten ONLY when its qualifier is the virtual
-    // relation (or a FROM/JOIN alias of it) — a same-named column on
-    // another table in the join (`my_table.planet_id`) must stay untouched.
+    // resolved only when the statement references the owning relation, and
+    // scoped PER TOP-LEVEL SET-OPERATION ARM for both passes — a FROM/JOIN
+    // alias of the view declared in arm 1 must not qualify `p.alias`
+    // occurrences in arm 2, where `p` may bind another relation.
     graft.sources.VirtualDatasets.columnAliases.foldLeft(base) {
       case (s, (rel, aliases)) =>
         val view = graft.sources.VirtualDatasets.prefix + rel
         if (!s.contains(view)) s
         else {
-          val quals = Set(view) ++
-            ("""(?i)\b(?:FROM|JOIN)\s+""" + view + """(?:\s+AS)?\s+(\w+)""").r
-              .findAllMatchIn(s).map(_.group(1))
-              .filterNot(w => relStopWords(w.toLowerCase))
-          // an UNQUALIFIED alias rewrites only when the virtual view is the
-          // sole relation of its top-level set-operation arm: in a join,
-          // bare `planet_id` may bind to the OTHER side (reference binder
-          // resolves aliases per-relation,
-          // virtual_datasets/planet_data.py:100-113), so rewriting it would
-          // silently retarget the column. Each UNION/INTERSECT/EXCEPT arm
-          // is scoped independently (an arm that reads only the view keeps
-          // the rewrite even when a sibling arm reads another table).
-          // Relations that appear only inside subqueries (`WHERE planet_id
-          // IN (SELECT id FROM $planets)`) have their own scope and don't
-          // shadow the outer relation's columns — armSoleRelation ignores
-          // them via paren depth.
-          aliases.foldLeft(s) { case (t, (alias, primary)) =>
-            val qualified = replaceOutsideLiterals(
-              ("(?i)\\b(\\w+)\\.(" + alias + ")\\b").r, t) { m =>
-              if (quals(m.group(1))) m.group(1) + "." + primary else m.matched
-            }
-            // unqualified occurrences rewrite EXCEPT as an AS target — that
-            // is a user-chosen output name, not a reference to the column
-            val unqualRe = ("(?i)(?<![\\w.$])" + alias + "\\b").r
-            def rewriteArm(arm: String): String =
-              replaceOutsideLiterals(unqualRe, arm) { m =>
-                val before = m.before.toString
-                if (before.matches("(?is).*\\bAS\\s+")) m.matched else primary
-              }
-            val armsMask = literalMask(qualified)
-            val armsDepth = parenDepthOf(qualified, armsMask)
-            val out = new StringBuilder
-            var pos = 0
-            topLevelArms(qualified, armsMask, armsDepth).foreach {
-              case (a, b) =>
-                out.append(qualified.substring(pos, a))
-                val arm = qualified.substring(a, b)
-                out.append(if (armSoleRelation(arm, view)) rewriteArm(arm) else arm)
-                pos = b
-            }
-            out.append(qualified.substring(pos))
-            out.toString
+          val armsMask = literalMask(s)
+          val armsDepth = parenDepthOf(s, armsMask)
+          val out = new StringBuilder
+          var pos = 0
+          topLevelArms(s, armsMask, armsDepth).foreach { case (a, b) =>
+            out.append(s.substring(pos, a))
+            out.append(rewriteAliasesInArm(s.substring(a, b), view, aliases, schemaOf))
+            pos = b
           }
+          out.append(s.substring(pos))
+          out.toString
         }
+    }
+  }
+
+  /** One top-level arm's alias resolution for a virtual `view`.
+    *
+    * A DOTTED occurrence `q.alias` is rewritten only when `q` is the view
+    * or a FROM/JOIN alias of it declared in THIS arm — a same-named column
+    * on another table in the join (`my_table.planet_id`) stays untouched.
+    *
+    * An UNQUALIFIED alias rewrites when the view is the arm's sole
+    * relation, OR — reference-binder behavior
+    * (virtual_datasets/planet_data.py:100-113) — when every competing
+    * NAMED relation resolves in the session catalog to a schema WITHOUT
+    * the aliased column, so the bare name can only bind to the view.
+    * Unresolvable or opaque (derived/LATERAL/quoted) relations suppress
+    * the rewrite: the statement then errors on the unresolved column
+    * rather than silently retargeting it. Relations that appear only
+    * inside subqueries have their own scope and don't shadow the outer
+    * relation's columns — armCompetingRelations ignores them via paren
+    * depth. */
+  private def rewriteAliasesInArm(arm: String, view: String,
+      aliases: Seq[(String, String)],
+      schemaOf: String => Option[Set[String]]): String = {
+    val quals = Set(view) ++
+      ("""(?i)\b(?:FROM|JOIN)\s+""" + view + """(?:\s+AS)?\s+(\w+)""").r
+        .findAllMatchIn(arm).map(_.group(1))
+        .filterNot(w => relStopWords(w.toLowerCase))
+    val competing = armCompetingRelations(arm, view)
+    aliases.foldLeft(arm) { case (t, (alias, primary)) =>
+      val qualified = replaceOutsideLiterals(
+        ("(?i)\\b(\\w+)\\.(" + alias + ")\\b").r, t) { m =>
+        if (quals(m.group(1))) m.group(1) + "." + primary else m.matched
+      }
+      val bareResolvesToView = competing match {
+        case None => false
+        case Some(others) =>
+          others.forall(r =>
+            schemaOf(r).exists(cols => !cols.contains(alias.toLowerCase)))
+      }
+      if (!bareResolvesToView) qualified
+      else {
+        // unqualified occurrences rewrite EXCEPT as an AS target — that
+        // is a user-chosen output name, not a reference to the column
+        val unqualRe = ("(?i)(?<![\\w.$])" + alias + "\\b").r
+        replaceOutsideLiterals(unqualRe, qualified) { m =>
+          val before = m.before.toString
+          if (before.matches("(?is).*\\bAS\\s+")) m.matched else primary
+        }
+      }
     }
   }
 

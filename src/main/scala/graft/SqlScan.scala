@@ -418,15 +418,33 @@ private[graft] object SqlScan {
 
   /** Spans `[start, end)` of the statement's top-level set-operation arms:
     * cut at paren-depth-0 UNION/INTERSECT/EXCEPT keywords outside string
-    * literals. `EXCEPT (` is skipped — that spelling is the select-list
-    * column-exclusion form, not a set operation. A statement with no set
+    * literals. `EXCEPT (` is ambiguous between the select-list
+    * column-exclusion form (`SELECT * EXCEPT (a, b)`) and a parenthesized
+    * set-operation arm (`A EXCEPT (SELECT ...)`): disambiguated by peeking
+    * at the first word inside the group — SELECT/WITH/VALUES (possibly
+    * behind further parens) means set operation, anything else means
+    * column exclusion and the match is not a cut. A statement with no set
     * operator yields one span covering the whole string. */
   def topLevelArms(
       s: String, mask: Array[Boolean], depth: Array[Int]): Seq[(Int, Int)] = {
     val delim =
-      """(?i)\b(?:UNION(?:\s+ALL|\s+DISTINCT)?|INTERSECT(?:\s+ALL)?|EXCEPT(?!\s*\()(?:\s+ALL)?)\b""".r
+      """(?i)\b(?:UNION(?:\s+ALL|\s+DISTINCT)?|INTERSECT(?:\s+ALL)?|EXCEPT(?:\s+ALL)?)\b""".r
+    def exceptIsColumnExclusion(m: scala.util.matching.Regex.Match): Boolean = {
+      val up = m.matched.toUpperCase
+      if (!up.startsWith("EXCEPT") || up.contains("ALL")) return false
+      var i = m.end
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (i >= s.length || s.charAt(i) != '(') return false
+      // peek past the paren(s) to the first word of the group
+      while (i < s.length && (s.charAt(i) == '(' || s.charAt(i).isWhitespace)) i += 1
+      var j = i
+      while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+      val word = s.substring(i, j).toLowerCase
+      !Set("select", "with", "values").contains(word)
+    }
     val cuts = delim.findAllMatchIn(s)
       .filter(m => m.start < mask.length && !mask(m.start) && depth(m.start) == 0)
+      .filterNot(exceptIsColumnExclusion)
       .map(m => (m.start, m.end)).toList
     val starts = 0 :: cuts.map(_._2)
     val ends = cuts.map(_._1) ::: List(s.length)

@@ -230,6 +230,101 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("alias guard: catalog-resolved bare aliases in multi-relation statements") {
+    import spark.implicits._
+    // Competing relation WITHOUT the alias column: bare planet_id can only
+    // bind to $satellites, so the catalog-aware guard (r13 VERDICT #4)
+    // applies the rewrite where the purely-textual guard suppressed and the
+    // statement errored — restores the reference binder's per-relation
+    // resolution (virtual_datasets/planet_data.py:100-113) for joins.
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("sid", "tag")
+      .createOrReplaceTempView("fz_nopid")
+    // ground truth per satellite id from the sole-relation form
+    val want: Map[Int, Long] = (1 to 3).map { id =>
+      id -> g.query(s"SELECT planet_id FROM $$satellites WHERE id = $id")
+        .head().get(0).toString.toDouble.toLong
+    }.toMap
+    val joinKinds = Seq("JOIN", "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN")
+    val stmts: Seq[(String, Int)] =
+      (for (jk <- joinKinds; id <- 1 to 3) yield Seq(
+        s"SELECT planet_id FROM fz_nopid $jk $$satellites ON fz_nopid.sid = $$satellites.id WHERE $$satellites.id = $id" -> id,
+        s"SELECT planet_id FROM $$satellites $jk fz_nopid ON fz_nopid.sid = $$satellites.id WHERE $$satellites.id = $id" -> id)).flatten ++
+        (1 to 3).map(id =>
+          s"SELECT planet_id FROM fz_nopid, $$satellites WHERE fz_nopid.sid = $$satellites.id AND $$satellites.id = $id" -> id) ++
+        (1 to 3).map(id =>
+          s"SELECT planet_id FROM fz_nopid n JOIN $$satellites ON n.sid = $$satellites.id WHERE $$satellites.id = $id" -> id)
+    assert(stmts.size >= 30, s"want >=30 join-context statements, have ${stmts.size}")
+    stmts.zipWithIndex.foreach { case ((q, id), i) =>
+      val got = g.query(q).head().get(0).toString.toDouble.toLong
+      assert(got == want(id), s"[cat $i] got $got want ${want(id)}: $q")
+    }
+    // $planets aliases resolve the same way against a column-free competitor
+    val ev = g.query(
+      "SELECT escape_velocity FROM fz_nopid JOIN $planets" +
+        " ON fz_nopid.sid = $planets.id WHERE $planets.id = 3").head().getDouble(0)
+    assert(ev == 11.2, s"catalog-resolved planets alias: $ev")
+    // negative control: a competitor that DOES carry the column still
+    // suppresses (fz_meta.planet_id binds) — the r12 retarget hazard
+    Seq((1, 9001L)).toDF("sid", "planet_id").createOrReplaceTempView("fz_meta2")
+    val kept = g.query(
+      "SELECT planet_id FROM fz_meta2 JOIN $satellites" +
+        " ON fz_meta2.sid = $satellites.id").head().getLong(0)
+    assert(kept == 9001L, "competitor with the column must still suppress")
+  }
+
+  test("alias guard: FROM-position derived tables are opaque (r13 ADVICE)") {
+    // A depth-0 derived table in FROM position was invisible to both the
+    // opaque check and the named-relation regex — bare aliases binding to
+    // the derived table were silently retargeted to the view's primary.
+    val d1 = g.query(
+      "SELECT planet_id FROM (SELECT 1 AS k, 9001 AS planet_id) d, $satellites" +
+        " WHERE d.k = $satellites.id").head().get(0).toString.toDouble.toLong
+    assert(d1 == 9001L, "FROM (derived), $view: bare alias must bind the derived table")
+    val d2 = g.query(
+      "SELECT planet_id FROM $satellites, (SELECT 1 AS k, 9002 AS planet_id) d" +
+        " WHERE d.k = $satellites.id").head().get(0).toString.toDouble.toLong
+    assert(d2 == 9002L, "$view, (derived): bare alias must bind the derived table")
+    // …while a table-FUNCTION call in FROM position is not a derived table
+    // and must not suppress the sole-relation rewrite
+    val tf = g.query(
+      "SELECT planet_id FROM $satellites WHERE id IN (SELECT 1 FROM range(1, 2))")
+      .head()
+    assert(!tf.isNullAt(0), "range() in a subquery FROM must not suppress")
+  }
+
+  test("alias guard: qualified rewrites are scoped per top-level arm (r13 ADVICE)") {
+    import spark.implicits._
+    Seq((1, 9001L), (2, 9002L))
+      .toDF("sid", "planet_id").createOrReplaceTempView("fz_armq")
+    // arm 1 binds p to $satellites (qualified alias rewrites), arm 2 binds p
+    // to fz_armq — with statement-global quals, arm 2's p.planet_id was
+    // rewritten to p.planetId and the statement failed analysis
+    val rows = g.query(
+      "SELECT p.planet_id AS v FROM $satellites p WHERE p.id = 1" +
+        " UNION ALL SELECT p.planet_id AS v FROM fz_armq p WHERE p.sid = 1")
+      .collect().map(_.get(0).toString.toDouble.toLong).sorted
+    assert(rows.contains(9001L) && rows.length == 2,
+      s"per-arm qualified scoping: ${rows.mkString(",")}")
+  }
+
+  test("set-op EXCEPT (SELECT...) arms cut; EXCEPT (cols) exclusion kept (r13 ADVICE)") {
+    import spark.implicits._
+    Seq((1, 9001L), (2, 9002L))
+      .toDF("sid", "planet_id").createOrReplaceTempView("fz_exc")
+    // parenthesized set-operation arm: must cut (the $satellites arm is then
+    // sole-relation and its alias resolves); the old scanner treated every
+    // `EXCEPT (` as column exclusion and merged the arms
+    val setOp = g.query(
+      "SELECT planet_id FROM $satellites WHERE id = 1" +
+        " EXCEPT (SELECT planet_id FROM fz_exc)").collect()
+    assert(setOp.length == 1 && !setOp.head.isNullAt(0),
+      "EXCEPT (SELECT...) must be treated as a set operation")
+    // column-exclusion form still parses as one arm
+    val excl = g.query("SELECT * EXCEPT (name) FROM $satellites WHERE id = 1")
+    assert(!excl.columns.map(_.toLowerCase).contains("name"),
+      "EXCEPT (cols) exclusion must not be cut as a set operation")
+  }
+
   test("XOR inside clause contexts: WHERE, CASE, nested parens, multi-statement") {
     val rnd = new scala.util.Random(42L)
     (1 to 240).foreach { i =>
