@@ -32,13 +32,22 @@ object ClickBench {
   // keys here (same note as Tables.df).
   private val engines = new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Graft]()
 
-  private def engine(s: SparkSession, dir: String): Graft =
-    engines.computeIfAbsent((s, dir), { _ =>
-      val g = Graft(s)
+  // Temp views are SESSION-global, not engine-local: when one session
+  // alternates between dirs (ScaleCheck times every statement at sf0.1 and
+  // at the 10× synth interleaved), the memoized engine of a previously-seen
+  // dir must re-point `events`/`documents`/`cb_hits` back at ITS dir or the
+  // small-scale measurement silently reads the big tables (found round 14:
+  // every cb ratio came back ~1.0).
+  private val currentDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  private def engine(s: SparkSession, dir: String): Graft = {
+    val g = engines.computeIfAbsent((s, dir), _ => Graft(s))
+    if (currentDir.put(s, dir) != dir) {
       g.registerDir(dir)
       g.query(hitsView).createOrReplaceTempView("cb_hits")
-      g
-    })
+    }
+    g
+  }
 
   /** The 90-sum wide aggregate (reference statement 30). */
   private val wideSums: String =

@@ -31,14 +31,14 @@ object ScaleCheck {
   private val outDir = "/tmp/sf1_synth"
   private val factor = 10
 
-  /** Every pipeline op p01–p101. The all-pairs verification baselines
+  /** Every pipeline op p01–p154. The all-pairs verification baselines
     * (p04/p05) are quadratic ON PURPOSE (documented exact tiers) — their
     * super-linear 10× ratios are expected and adjudicated in BENCH_NOTES,
     * kept here so the artifact covers the full surface rather than
     * silently omitting the known-expensive rows.
     * SPARK_GRAFT_SCALE_OPS=p01_dedup_exact,p18_dedup_components narrows a
     * run (partial reruns merge by hand into bench_sf1_synth.json). */
-  private val allOps = Seq(
+  private val pipelineOps = Seq(
     "p01_dedup_exact", "p02_dedup_minhash",
     "p03_dedup_simhash", "p04_dedup_jaccard", "p05_dedup_embedding",
     "p06_similarity_topk", "p07_similarity_lsh", "p08_text_langid",
@@ -98,7 +98,19 @@ object ScaleCheck {
     "p143_quota_apportionment", "p144_dp_noisy_counts", "p145_l_diversity",
     "p146_hrw_shards", "p147_retention_policy", "p148_watermark_audit",
     "p149_benford_audit", "p150_cusum_changepoint", "p151_dedup_pair_eval",
-    "p152_kmv_intersection", "p153_degree_assortativity", "p154_psi_drift")
+    "p152_kmv_intersection", "p153_degree_assortativity", "p154_psi_drift",
+    "p155_mann_whitney", "p156_quantile_sketch", "p157_contrastive_pairs",
+    "p158_lognormal_fit", "p159_quantile_norm_audit", "p160_idf_weighted_jaccard")
+
+  /** The relational (q*) and ClickBench (cb*) halves of the gate (round-13
+    * VERDICT #1: every gate query gets a measured 10× ratio, not just a
+    * static plan audit). Derived from the registry so a new gate query is
+    * scale-checked by default instead of silently omitted. */
+  private val relationalOps: Seq[String] =
+    SparkEntry.queries.keys.toSeq.filterNot(_.startsWith("p")).sorted
+
+  private val allOps = pipelineOps ++ relationalOps
+
   private def ops: Seq[String] =
     sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
       .getOrElse(allOps)
@@ -106,11 +118,27 @@ object ScaleCheck {
   private def rep = explode(sequence(lit(0), lit(factor - 1))).as("rep")
 
   def generate(spark: SparkSession): Unit = {
-    // Small relational tables pass through unchanged (the pipeline ops only
-    // read documents/embeddings/events, but a full table set keeps
-    // PlanAudit/Bench runnable against the synth dir).
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
+    // TPC-H tables replicate as TEN DISJOINT SELF-CONSISTENT COPIES — every
+    // key (and every foreign key, within the same replica) maps k → k*10+rep,
+    // so per-order lineitem counts, per-customer order counts, and join
+    // fan-outs stay CONSTANT while row counts scale 10×. That is how TPC-H
+    // itself scales (more customers/orders, same per-entity shape); plain
+    // row duplication would instead grow every join group 10× and measure a
+    // 100×-denser workload. region/nation stay fixed-size, as in TPC-H.
+    def keyScaled(t: String, keys: Seq[String]): Unit =
+      Tables.df(spark, srcDir, t)
+        .withColumn("rep", rep)
+        .select(Tables.df(spark, srcDir, t).columns.map { c =>
+          if (keys.contains(c)) (col(c) * factor + col("rep")).as(c) else col(c)
+        }: _*)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    for (t <- Seq("region", "nation"))
       Tables.df(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    keyScaled("customer", Seq("c_custkey"))
+    keyScaled("supplier", Seq("s_suppkey"))
+    keyScaled("part", Seq("p_partkey"))
+    keyScaled("orders", Seq("o_orderkey", "o_custkey"))
+    keyScaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
 
     Tables.df(spark, srcDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), rep)
@@ -181,7 +209,7 @@ object ScaleCheck {
     val prior: Map[String, String] =
       if (java.nio.file.Files.exists(artifact)) {
         val txt = new String(java.nio.file.Files.readAllBytes(artifact), "UTF-8")
-        """"(p\d+[a-z0-9_]*)":(\{[^}]*\})""".r.findAllMatchIn(txt)
+        """"((?:p|q|cb)\d+[a-z0-9_]*)":(\{[^}]*\})""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toMap
       } else Map.empty
     val merged = prior ++ rows.map { case (n, a, b, r, f) =>
