@@ -403,4 +403,64 @@ class GrammarFuzzSpec extends AnyFunSuite {
         row => assert(row.getLong(0) == xs.sum))
     }
   }
+
+  test("temporal FOR and @var triggers compose with hazards, arms, and expressions") {
+    // r13 VERDICT #8: the two rewrite triggers least covered by the
+    // composed grammar — extractTemporal's FOR clauses and the @var →
+    // session-variable rewrite — now fuzz against a Scala ground truth.
+    import spark.implicits._
+    val r = new Random(1414L)
+    def hz = hazards(r.nextInt(hazards.length))
+    val days = (1 to 28).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"))
+    }
+    g.registerDf("fz_temporal", days.toDF("id", "ts"))
+    g.registerTemporalColumn("fz_temporal", "ts")
+
+    // FOR DATES BETWEEN / SINCE / single-day, with hazard literals in the
+    // select list and binding aliases between relation and FOR
+    (1 to 40).foreach { i =>
+      val lo = 1 + r.nextInt(20)
+      val hi = lo + r.nextInt(28 - lo)
+      val alias = Seq("", " t", " AS t")(r.nextInt(3))
+      val (spec, want): (String, Long) = r.nextInt(3) match {
+        case 0 =>
+          (f"DATES BETWEEN '2024-01-$lo%02d' AND '2024-01-$hi%02d'", (hi - lo + 1).toLong)
+        case 1 => (f"DATES SINCE '2024-01-$lo%02d'", (28 - lo + 1).toLong)
+        case _ => (f"'2024-01-$lo%02d'", 1L)
+      }
+      runOne(600 + i,
+        s"SELECT count(*) AS v, '$hz' AS h FROM fz_temporal$alias FOR $spec",
+        row => assert(row.getLong(0) == want, s"FOR $spec: got ${row.getLong(0)}"))
+    }
+    // FOR inside one arm of a set operation: each arm's range is its own
+    (1 to 20).foreach { i =>
+      val a = 1 + r.nextInt(10)
+      val b = 11 + r.nextInt(10)
+      runOne(700 + i,
+        f"SELECT count(*) AS v FROM fz_temporal FOR '2024-01-$a%02d'" +
+          f" UNION ALL SELECT count(*) FROM fz_temporal FOR '2024-01-$b%02d'",
+        row => assert(row.getLong(0) == 1L))
+    }
+
+    // @var in operand positions of grammar expressions (SET script form and
+    // standalone), hazard literal carrying a fake @token that must survive
+    (1 to 40).foreach { i =>
+      val n = r.nextInt(1000).toLong
+      val k = 1 + r.nextInt(9).toLong
+      val hazard = s"not @a_var ${hz}"
+      val (expr, want): (String, Long) = r.nextInt(4) match {
+        case 0 => (s"@fzv + $k", n + k)
+        case 1 => (s"@fzv * $k % 97", n * k % 97)
+        case 2 => (s"coalesce(@fzv, $k)", n)
+        case _ => (s"[@fzv, $k][0]", n)
+      }
+      runOne(800 + i,
+        s"SET @fzv = $n; SELECT $expr AS v, '${hazard.replace("'", "''")}' AS h",
+        { row =>
+          assert(row.get(0).toString.toLong == want, s"@var expr $expr")
+          assert(row.getString(1) == hazard, "hazard literal corrupted")
+        })
+    }
+  }
 }
