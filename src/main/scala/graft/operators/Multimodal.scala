@@ -150,6 +150,76 @@ object Multimodal {
     }
   }
 
+  /** Synthetic-PCM audio path — the audio sibling of [[ImageCodec]]: the
+    * container has no audio decoders, so the SIGNAL is synthesized
+    * deterministically (the decode stub), while everything downstream —
+    * framing, energy contour, landmark peaks, fingerprint hashing, the
+    * Spark partition pipeline — is the real Shazam-style machinery a
+    * deployment would run on decoded PCM.
+    */
+  object AudioCodec {
+
+    /** Deterministic 16-bit mono PCM: three md5(seed)-derived sinusoids
+      * plus a seeded integer dither. The signal is a pure function of
+      * (seed, sample index), so the same seed produces the same PREFIX at
+      * any duration — duration variants of one recording agree on every
+      * frame they share. StrictMath keeps the waveform bit-identical
+      * across JVMs/executors. */
+    def syntheticPcm(nSamples: Int, seed: Int): Array[Short] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"audio:$seed".getBytes("UTF-8"))
+      val freqs = (0 until 3).map(k => 2.0 + (md(k) & 0x3f))
+      val amps = (0 until 3).map(k => 2000.0 + ((md(k + 3) & 0x7f) << 5))
+      // seed-derived amplitude envelope (2..9 beats per 32 frames, seeded
+      // phase): a stationary sinusoid mix has a near-FLAT energy contour
+      // (frame energy ≈ Σ A²/2 regardless of phase), which starves the
+      // landmark stage — the beats put seed-distinctive peaks in it
+      val beat = 2.0 + (md(6) & 0x7)
+      val beat2 = 10.0 + (md(8) & 0xf)
+      val phase = (md(7) & 0xff) / 256.0 * 2.0 * StrictMath.PI
+      val phase2 = (md(9) & 0xff) / 256.0 * 2.0 * StrictMath.PI
+      Array.tabulate(nSamples) { i =>
+        val env = 1.0 +
+          0.7 * StrictMath.sin(2.0 * StrictMath.PI * beat * i / 8192.0 + phase) +
+          0.25 * StrictMath.sin(2.0 * StrictMath.PI * beat2 * i / 8192.0 + phase2)
+        val s = (0 until 3).map(k =>
+          amps(k) * StrictMath.sin(2.0 * StrictMath.PI * freqs(k) * i / 1024.0)).sum
+        val dither = ((i * 2654435761L + seed * 40503L) >>> 52).toInt - 2048
+        math.max(math.min(env * s + dither, 32767.0), -32768.0).toShort
+      }
+    }
+
+    /** Mean-square energy of consecutive `frame`-sample windows. */
+    def frameEnergies(pcm: Array[Short], frame: Int = 256): Array[Double] =
+      Array.tabulate(pcm.length / frame) { f =>
+        var i = f * frame
+        var acc = 0.0
+        while (i < (f + 1) * frame) { acc += pcm(i).toDouble * pcm(i); i += 1 }
+        acc / frame
+      }
+
+    /** Landmark frames: strict local maxima of the energy contour. */
+    def landmarks(e: Array[Double]): Seq[Int] =
+      (1 until e.length - 1).filter(i => e(i) > e(i - 1) && e(i) > e(i + 1))
+
+    /** Constellation fingerprint over the DURATION-INVARIANT prefix: the
+      * first 8 landmark (anchor, delta, energy-bucket) triples within the
+      * first 32 frames, hash-combined. Clips that share a signal prefix —
+      * re-encodes, truncations, padded variants — collide; different
+      * signals don't. */
+    def fingerprint(pcm: Array[Short]): Long = {
+      val e = frameEnergies(pcm).take(32)
+      val lm = landmarks(e).take(8)
+      // fold landmark COUNT and first anchor into the seed so contours
+      // with <2 landmarks don't all collapse onto the bare initial hash
+      lm.zip(lm.drop(1)).foldLeft(17L + lm.length * 7919L +
+        lm.headOption.getOrElse(-1) * 104729L) { case (h, (a, b)) =>
+        val bucket = (StrictMath.log1p(e(a)) * 16).toLong
+        h * 1000003L + a * 131L + (b - a) * 31L + bucket
+      }
+    }
+  }
+
   /** An opaque media payload + typed metadata. */
   case class MediaAsset(
       asset_id: Long,

@@ -100,7 +100,10 @@ object ScaleCheck {
     "p149_benford_audit", "p150_cusum_changepoint", "p151_dedup_pair_eval",
     "p152_kmv_intersection", "p153_degree_assortativity", "p154_psi_drift",
     "p155_mann_whitney", "p156_quantile_sketch", "p157_contrastive_pairs",
-    "p158_lognormal_fit", "p159_quantile_norm_audit", "p160_idf_weighted_jaccard")
+    "p158_lognormal_fit", "p159_quantile_norm_audit", "p160_idf_weighted_jaccard",
+    "p161_audio_fingerprint_dedup", "p162_cvm_two_sample",
+    "p163_chunk_boundary_audit", "p164_hill_tail_index",
+    "p165_referential_integrity", "p166_session_gap_sweep")
 
   /** The relational (q*) and ClickBench (cb*) halves of the gate (round-13
     * VERDICT #1: every gate query gets a measured 10× ratio, not just a
