@@ -58,6 +58,11 @@ object Functions {
   def simhash32(tokens: Column): Column =
     graft.functions.NativeExpressions.simhash32(tokens)
 
+  /** 60-bit variant (p169's Hamming banding needs band keys selective
+    * enough to stay near-linear — see PipelineQueries45). */
+  def simhash60(tokens: Column): Column =
+    graft.functions.NativeExpressions.simhash60(tokens)
+
   // ----------------------------------------------------------------- misc
 
   private val base85Alphabet =
@@ -330,7 +335,7 @@ object Functions {
         Cast(es(0), ArrayType(DoubleType)), Cast(es(1), ArrayType(DoubleType))),
       "internal")
     reg.createOrReplaceTempFunction("simhash",
-      (es: Seq[Expression]) => graft.functions.NativeExpressions.SimHash32Expr(es.head),
+      (es: Seq[Expression]) => graft.functions.NativeExpressions.SimHashExpr(es.head, 32),
       "internal")
     reg.createOrReplaceTempFunction("minhash_signature",
       (es: Seq[Expression]) => graft.functions.NativeExpressions.MinHashSignatureExpr(

@@ -120,27 +120,31 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** 32-bit SimHash: one md5 per token (not per token×bit), then the
-    * majority vote in a register loop. Matches the oracle's
-    * ('0x'||substr(md5(tok),1,8))::BIGINT hash exactly. */
-  case class SimHash32Expr(child: Expression)
+  /** `bits`-wide SimHash (32 or 60): one md5 per token (not per
+    * token×bit), then the majority vote in a register loop. Matches the
+    * oracle's ('0x'||substr(md5(tok),1,bits/4))::BIGINT hash exactly.
+    * 60 is the widest width whose hex prefix stays inside a signed
+    * BIGINT on both engines. */
+  case class SimHashExpr(child: Expression, bits: Int)
       extends UnaryExpression with CodegenFallback {
+    require(bits > 0 && bits <= 60 && bits % 4 == 0,
+      s"simhash bits must be a multiple of 4 in (0, 60], got $bits")
     override def dataType: DataType = LongType
-    override def prettyName: String = "simhash32"
+    override def prettyName: String = s"simhash$bits"
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val md = java.security.MessageDigest.getInstance("MD5")
-      val votes = new Array[Int](32)
+      val votes = new Array[Int](bits)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
         if (s != null) {
           val hex = md5Hex(md, s.getBytes)
-          val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val h = java.lang.Long.parseLong(hex.substring(0, bits / 4), 16)
           var bit = 0
-          while (bit < 32) {
+          while (bit < bits) {
             if (((h >> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
             bit += 1
           }
@@ -149,7 +153,7 @@ object NativeExpressions {
       }
       var out = 0L
       var bit = 0
-      while (bit < 32) {
+      while (bit < bits) {
         if (votes(bit) > 0) out |= (1L << bit)
         bit += 1
       }
@@ -169,5 +173,8 @@ object NativeExpressions {
     Interop.column(MinHashSignatureExpr(Interop.expression(shingles), k))
 
   def simhash32(tokens: Column): Column =
-    Interop.column(SimHash32Expr(Interop.expression(tokens)))
+    Interop.column(SimHashExpr(Interop.expression(tokens), 32))
+
+  def simhash60(tokens: Column): Column =
+    Interop.column(SimHashExpr(Interop.expression(tokens), 60))
 }

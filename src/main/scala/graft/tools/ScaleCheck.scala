@@ -103,7 +103,9 @@ object ScaleCheck {
     "p158_lognormal_fit", "p159_quantile_norm_audit", "p160_idf_weighted_jaccard",
     "p161_audio_fingerprint_dedup", "p162_cvm_two_sample",
     "p163_chunk_boundary_audit", "p164_hill_tail_index",
-    "p165_referential_integrity", "p166_session_gap_sweep")
+    "p165_referential_integrity", "p166_session_gap_sweep",
+    "p167_bottomk_sample", "p168_heldout_perplexity", "p169_simhash_hamming",
+    "p170_stratified_kfold", "p171_fano_burstiness", "p172_quantile_band_drift")
 
   /** The relational (q*) and ClickBench (cb*) halves of the gate (round-13
     * VERDICT #1: every gate query gets a measured 10× ratio, not just a
