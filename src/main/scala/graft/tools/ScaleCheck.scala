@@ -105,7 +105,9 @@ object ScaleCheck {
     "p163_chunk_boundary_audit", "p164_hill_tail_index",
     "p165_referential_integrity", "p166_session_gap_sweep",
     "p167_bottomk_sample", "p168_heldout_perplexity", "p169_simhash_hamming",
-    "p170_stratified_kfold", "p171_fano_burstiness", "p172_quantile_band_drift")
+    "p170_stratified_kfold", "p171_fano_burstiness", "p172_quantile_band_drift",
+    "p173_scd2_history", "p174_negative_sampling", "p175_join_size_estimator",
+    "p176_compression_proxy", "p177_blocking_recall", "p178_bloom_join_prefilter")
 
   /** The relational (q*) and ClickBench (cb*) halves of the gate (round-13
     * VERDICT #1: every gate query gets a measured 10× ratio, not just a
