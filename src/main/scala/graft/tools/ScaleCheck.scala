@@ -107,7 +107,9 @@ object ScaleCheck {
     "p167_bottomk_sample", "p168_heldout_perplexity", "p169_simhash_hamming",
     "p170_stratified_kfold", "p171_fano_burstiness", "p172_quantile_band_drift",
     "p173_scd2_history", "p174_negative_sampling", "p175_join_size_estimator",
-    "p176_compression_proxy", "p177_blocking_recall", "p178_bloom_join_prefilter")
+    "p176_compression_proxy", "p177_blocking_recall", "p178_bloom_join_prefilter",
+    "p179_t_closeness", "p180_funnel_attribution", "p181_association_lift",
+    "p182_cuped_adjustment", "p183_stylometry_delta", "p184_upsert_merge_audit")
 
   /** The relational (q*) and ClickBench (cb*) halves of the gate (round-13
     * VERDICT #1: every gate query gets a measured 10× ratio, not just a

@@ -85,6 +85,20 @@ class BoundedWindowSpec extends AnyFunSuite {
       "decile boundaries come from the value-domain-bounded score histogram"),
     "p108_block_lm_trim" -> (65536L,
       "P10 cut cumulates over the 6dp-gridded block-score histogram — value-domain-bounded (avg of 10 ln-probs in a fixed range), the p85/p64 class"),
+    "p155_mann_whitney" -> (16384L,
+      "the below-count cumulation runs over the 2dp distinct-VALUE frame " +
+        "(<= 10^4+1 rows at ANY corpus size — the p141 midrank class)"),
+    "p156_quantile_sketch" -> (512L,
+      "cumulative counts run over the constant 256-bin histogram (the " +
+        "sketch's whole point); exact-side selection is two-phase bucketed"),
+    "p162_cvm_two_sample" -> (16384L,
+      "the ECDF cumulations run over the 2dp distinct-value frame — the " +
+        "p140/p155 class"),
+    "p172_quantile_band_drift" -> (64L,
+      "the lag runs over the per-WEEK band frame — bounded by the date " +
+        "span at ANY corpus size (5 weeks here)"),
+    "p174_negative_sampling" -> (64L,
+      "the cumulative-share window runs over the LIMIT 20 top-word frame"),
     "q15_join_theta" -> (4096L,
       "banded decomposition: the window sits over a ≤K-rows-per-band frame (BandedThetaJoin)"),
     "q69_tpch_q15" -> (1024L,
