@@ -183,6 +183,12 @@ object Bench {
     val cbSelected =
       if (only.isEmpty) ClickBench.queries
       else ClickBench.queries.filter { case (k, _) => only.exists(k.startsWith) }
+    // cb-section-local canary window (round-13 VERDICT #2: two same-day
+    // cuts at ±2% whole-session canary produced cb totals 18% apart — the
+    // sub-second cb section needs its OWN load signal, not the session
+    // pool's). Samples taken while the cb section measures are sliced out
+    // and reported as cb_canary_median for per-section normalization.
+    var cbCanaryStart = -1
     val cbResults =
       if (cbSelected.isEmpty || sys.env.get("SPARK_GRAFT_CLICKBENCH").contains("0"))
         Seq.empty[Row]
@@ -203,6 +209,7 @@ object Bench {
           spark = newSession()
           canaryOnce() // re-warm the canary path in the new session
         }
+        cbCanaryStart = canarySamples.size
         measure(cbSelected)
       }
     canarySamples += canaryOnce()
@@ -226,6 +233,12 @@ object Bench {
     // mid-run samples, so it compares like with like), OR post-GC tail
     // drift >1.5x the pristine baseline (above).
     val canaryMedian = BenchCanary.sessionMedian(canarySamples.toSeq)
+    val cbCanarySamples =
+      if (cbCanaryStart < 0) Seq.empty[Double]
+      else canarySamples.drop(cbCanaryStart).toSeq
+    val cbCanaryMedian =
+      if (cbCanarySamples.isEmpty) -1.0
+      else BenchCanary.sessionMedian(cbCanarySamples)
     val loadFlag = BenchCanary.loadFlag(canarySamples.toSeq) ||
       BenchCanary.tailDrift(canaryBaseline, canaryTail)
 
@@ -273,7 +286,7 @@ object Bench {
         s""","queries_min":${minJson(results)},"clickbench_min":${minJson(cbResults)}"""
       else ""
     val adjudication =
-      s""""load_suspect":$loadSuspect,"canary_quiet_band":${BenchCanary.quietBandMedian},"dispersion_flagged":$dispersionFlagged"""
+      s""""load_suspect":$loadSuspect,"canary_quiet_band":${BenchCanary.quietBandMedian},"cb_canary_median":$cbCanaryMedian,"dispersion_flagged":$dispersionFlagged"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${medJson(results)},"clickbench":${medJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,$adjudication,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag$minFields}"""
 
     // Full artifact on disk: the driver's tail-capture truncates the stdout

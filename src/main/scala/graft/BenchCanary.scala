@@ -100,8 +100,16 @@ object BenchCanary {
     * minima alongside medians so the artifact adjudicates itself.
     * Re-baseline (update the constant, note it in BENCH_NOTES.md) only
     * from a clean cut after a material suite-composition change — the
-    * residue level tracks the workload mix. */
-  val quietBandMedian: Double = 0.343
+    * residue level tracks the workload mix.
+    *
+    * Round-14 re-baseline: 0.343 → 0.391. The suite grew 285→328 gate
+    * queries AND sub-second queries now take ≥5 trials (cb-drift fix), so
+    * the per-20-measurements canary samples sit deeper in bench residue.
+    * The re-baselining cut was verifiably quiet by the residue-free
+    * indicators: pristine pre-run baseline 0.120 s (vs 0.173 on the r13
+    * driver run) and post-GC tail 0.123/0.078 s back at baseline — the
+    * session-median lift is self-induced, not ambient. */
+  val quietBandMedian: Double = 0.391
   val loadSuspectFactor: Double = 1.10
 
   def loadSuspect(

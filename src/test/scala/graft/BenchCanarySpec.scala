@@ -130,12 +130,19 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(!BenchCanary.dispersionSuspect(Seq(1.0, 1.1, 1.2)))
     assert(BenchCanary.dispersionRatio(Nil) == 0.0)
     assert(BenchCanary.dispersionRatio(Seq(0.0, 1.0)) == 0.0)
-    // the r12 official cut (canary median 0.389 vs the r11 clean 0.343
-    // band, +13%) must stamp load_suspect; the r11 clean cut itself and
-    // small drifts must not
-    assert(BenchCanary.loadSuspect(0.389))
-    assert(!BenchCanary.loadSuspect(0.343))
-    assert(!BenchCanary.loadSuspect(0.370))
+    // the r12 forensic shape pins the RULE against the r11-era band: the
+    // r12 official cut (canary median 0.389 vs the r11 clean 0.343 band,
+    // +13%) must stamp load_suspect; the r11 clean cut itself and small
+    // drifts must not. (The committed default band was re-baselined to
+    // 0.391 in round 14 after the suite-composition change — the rule is
+    // exercised against the historical band explicitly.)
+    assert(BenchCanary.loadSuspect(0.389, band = 0.343))
+    assert(!BenchCanary.loadSuspect(0.343, band = 0.343))
+    assert(!BenchCanary.loadSuspect(0.370, band = 0.343))
+    // the round-14 band: the re-baselining cut itself is clean, a +13%
+    // drift above it flags
+    assert(!BenchCanary.loadSuspect(0.391))
+    assert(BenchCanary.loadSuspect(0.45))
     assert(!BenchCanary.loadSuspect(0.5, band = 0.0)) // no band -> no verdict
   }
 
