@@ -109,7 +109,10 @@ object ScaleCheck {
     "p173_scd2_history", "p174_negative_sampling", "p175_join_size_estimator",
     "p176_compression_proxy", "p177_blocking_recall", "p178_bloom_join_prefilter",
     "p179_t_closeness", "p180_funnel_attribution", "p181_association_lift",
-    "p182_cuped_adjustment", "p183_stylometry_delta", "p184_upsert_merge_audit")
+    "p182_cuped_adjustment", "p183_stylometry_delta", "p184_upsert_merge_audit",
+    "p185_feature_hashing", "p186_quantile_treatment_effect",
+    "p187_backoff_hitrate", "p188_km_survival", "p189_code_detection",
+    "p190_dup_canonicalization")
 
   /** The relational (q*) and ClickBench (cb*) halves of the gate (round-13
     * VERDICT #1: every gate query gets a measured 10× ratio, not just a

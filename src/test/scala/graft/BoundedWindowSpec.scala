@@ -99,6 +99,10 @@ class BoundedWindowSpec extends AnyFunSuite {
         "span at ANY corpus size (5 weeks here)"),
     "p174_negative_sampling" -> (64L,
       "the cumulative-share window runs over the LIMIT 20 top-word frame"),
+    "p188_km_survival" -> (4096L,
+      "the at-risk reverse cumulation and the product-limit running sum " +
+        "run over the per-DAY risk table — bounded by the date span at ANY " +
+        "corpus size (the p150 class; ~30 days here)"),
     "q15_join_theta" -> (4096L,
       "banded decomposition: the window sits over a ≤K-rows-per-band frame (BandedThetaJoin)"),
     "q69_tpch_q15" -> (1024L,
