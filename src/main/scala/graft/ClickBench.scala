@@ -42,9 +42,15 @@ object ClickBench {
 
   private def engine(s: SparkSession, dir: String): Graft = {
     val g = engines.computeIfAbsent((s, dir), _ => Graft(s))
-    if (currentDir.put(s, dir) != dir) {
+    if (currentDir.get(s) != dir) {
+      // Advance the marker only after registration succeeds: if registerDir
+      // or the view swap throws, a stale marker pointing at the NEW dir
+      // would make later calls skip re-registration and silently read the
+      // previous dir's views — the wrong-dir-measurement class this method
+      // exists to prevent.
       g.registerDir(dir)
       g.query(hitsView).createOrReplaceTempView("cb_hits")
+      currentDir.put(s, dir)
     }
     g
   }

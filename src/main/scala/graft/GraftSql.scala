@@ -634,18 +634,6 @@ object GraftSql {
   private val tableFnRelNames =
     Set("unnest", "generate_series", "fake", "values", "range")
 
-  /** The arm's column-contributing relations OTHER than `view`, for the
-    * bare-alias guard of rewriteVirtualTables. `None` means the arm holds a
-    * relation the textual scan can't positively identify — a depth-0
-    * derived table (`FROM (SELECT...)`, `JOIN (`, a `(`-item in a FROM
-    * list), `LATERAL`, or a double-quoted relation name — and the rewrite
-    * must be suppressed unconditionally. `Some(empty)` means the view is
-    * the arm's sole relation. `Some(names)` lists competing NAMED relations
-    * whose schemas the caller may consult to resolve an otherwise-ambiguous
-    * bare alias. Matches inside string literals are excluded (a literal
-    * `'copied FROM x'` is content, not a relation), and known
-    * table-function targets (`JOIN UNNEST(...)`) bind no columns of the
-    * view's names so they don't compete. */
   /** Strip balanced outer parens from a set-operation arm: a parenthesized
     * arm (`A EXCEPT (SELECT ...)`) nests its whole SELECT one paren level
     * deep, which would hide its FROM/JOIN targets from the depth-0 scans
@@ -671,6 +659,18 @@ object GraftSql {
     s
   }
 
+  /** The arm's column-contributing relations OTHER than `view`, for the
+    * bare-alias guard of rewriteVirtualTables. `None` means the arm holds a
+    * relation the textual scan can't positively identify — a depth-0
+    * derived table (`FROM (SELECT...)`, `JOIN (`, a `(`-item in a FROM
+    * list), `LATERAL`, or a double-quoted relation name — and the rewrite
+    * must be suppressed unconditionally. `Some(empty)` means the view is
+    * the arm's sole relation. `Some(names)` lists competing NAMED relations
+    * whose schemas the caller may consult to resolve an otherwise-ambiguous
+    * bare alias. Matches inside string literals are excluded (a literal
+    * `'copied FROM x'` is content, not a relation), and known
+    * table-function targets (`JOIN UNNEST(...)`) bind no columns of the
+    * view's names so they don't compete. */
   private def armCompetingRelations(rawArm: String, view: String): Option[Set[String]] = {
     val arm = stripOuterParens(rawArm)
     val mask = literalMask(arm)

@@ -158,9 +158,9 @@ object PipelineQueries43 {
       val st = li.agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
       // the sketch: one map-side-combinable aggregation to 256 cells — the
       // vector a 100 TB profile pass merges across splits by addition
-      val width = (col("lo") - col("lo") + col("hi") - col("lo")) / 256.0
+      val width = (col("hi") - col("lo")) / 256.0
       val bins = li.crossJoin(broadcast(st))
-        .select(least(floor((v - col("lo")) / ((col("hi") - col("lo")) / 256.0))
+        .select(least(floor((v - col("lo")) / width)
           .cast("long"), lit(255L)).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("c"))
       val w = Window.orderBy(col("bin"))
@@ -172,7 +172,7 @@ object PipelineQueries43 {
       val est = qsDf.crossJoin(cb).crossJoin(broadcast(st))
         .filter(col("below") <= pos && pos < col("below") + col("c"))
         .groupBy(col("q"))
-        .agg(min(col("lo") + ((col("hi") - col("lo")) / 256.0) *
+        .agg(min(col("lo") + width *
           (col("bin") + (pos - col("below") + 0.5) / col("c"))).as("est"))
       // exact side: two-phase bucketed selection (near-distinct domain)
       val keyed = li.select(lit(0L).as("k"), v.as("price"))

@@ -31,88 +31,19 @@ object ScaleCheck {
   private val outDir = "/tmp/sf1_synth"
   private val factor = 10
 
-  /** Every pipeline op p01–p154. The all-pairs verification baselines
-    * (p04/p05) are quadratic ON PURPOSE (documented exact tiers) — their
-    * super-linear 10× ratios are expected and adjudicated in BENCH_NOTES,
-    * kept here so the artifact covers the full surface rather than
-    * silently omitting the known-expensive rows.
+  /** Every pipeline op, derived from the SparkEntry registry so a new
+    * p-batch is scale-checked by default instead of silently omitted (the
+    * omission mode round-13 VERDICT #1 addressed; hand-maintained until
+    * round 15). Numeric-ordered for stable artifact layout. The all-pairs
+    * verification baselines (p04/p05) are quadratic ON PURPOSE (documented
+    * exact tiers) — their super-linear 10x ratios are expected and
+    * adjudicated in BENCH_NOTES, kept so the artifact covers the full
+    * surface rather than silently omitting the known-expensive rows.
     * SPARK_GRAFT_SCALE_OPS=p01_dedup_exact,p18_dedup_components narrows a
     * run (partial reruns merge by hand into bench_sf1_synth.json). */
-  private val pipelineOps = Seq(
-    "p01_dedup_exact", "p02_dedup_minhash",
-    "p03_dedup_simhash", "p04_dedup_jaccard", "p05_dedup_embedding",
-    "p06_similarity_topk", "p07_similarity_lsh", "p08_text_langid",
-    "p09_text_quality", "p10_text_tokens", "p11_text_fingerprint",
-    "p12_multimodal_meta", "p13_events_window", "p14_events_sessions",
-    "p15_ann_ivf", "p16_pipeline_e2e", "p19_pii_redact",
-    "p21_sample_stratified", "p22_text_repetition", "p24_span_dedup",
-    "p26_bloom_incremental", "p27_source_mix", "p28_sequence_packing",
-    "p17_dedup_jaccard_capped",
-    "p18_dedup_components", "p29_dedup_components_star",
-    "p20_contamination", "p23_semantic_dedup", "p25_unigram_lm",
-    "p30_doc_chunking", "p31_mixing_weights",
-    "p32_substring_runs", "p33_image_phash_dedup",
-    "p34_skew_join", "p35_bm25_topk", "p36_cdc_chunking", "p37_bigram_lm",
-    "p38_kmv_distinct", "p39_token_budget", "p40_bpe_pairs", "p41_vocab_prune",
-    "p42_zipf_slope", "p43_label_centroids", "p44_leakage_safe_split",
-    "p45_vocab_kl",
-    "p46_pmi_collocations", "p47_kmeans_embeddings", "p48_weighted_sample",
-    "p49_boilerplate_segments", "p50_source_overlap", "p51_embed_quantize",
-    "p52_entity_blocking", "p53_length_quantiles", "p54_hard_negatives",
-    "p55_dedup_audit", "p56_product_quantization",
-    "p57_resample_ffill", "p58_funnel",
-    "p59_snapshot_diff", "p60_rolling_zscore",
-    "p61_tfidf_topk", "p62_embed_logreg", "p63_markov_transitions",
-    "p64_curriculum_stages", "p65_langid_eval", "p66_pagerank",
-    "p67_vocab_coverage", "p68_cluster_reps", "p69_winsorize",
-    "p70_retention_cohorts", "p71_token_entropy",
-    "p72_embed_norms", "p73_dupgraph_triangles", "p74_minhash_calibration",
-    "p75_ann_recall", "p76_blocklist_screen", "p77_band_tuning",
-    "p78_rfm_segments",
-    "p79_lang_temperature", "p80_dedup_threshold_sweep",
-    "p81_decay_engagement", "p82_distinct_ngrams", "p83_vocab_growth",
-    "p84_incremental_minhash", "p85_quality_ensemble", "p86_embed_dim_stats",
-    "p87_source_concentration", "p88_event_gap_quantiles",
-    "p89_k_anonymity", "p90_join_key_skew", "p91_dup_size_spectrum",
-    "p92_dup_distance_profile", "p93_event_seasonality",
-    "p94_cross_source_dup_matrix",
-    "p95_component_safe_split", "p96_dedup_quality_gap", "p97_prefix_families",
-    "p98_quality_drift", "p99_ivf_probe_sweep", "p100_video_frame_dedup",
-    "p101_data_map", "p102_hybrid_rrf", "p103_kmv_union",
-    "p104_span_keep_first", "p105_containment_dedup",
-    "p106_gopher_repetition", "p107_ppl_buckets",
-    "p108_block_lm_trim", "p109_event_window_dedup", "p110_centroid_outliers",
-    "p111_dsir_importance", "p112_mad_outliers", "p113_cms_heavy_hitters",
-    "p114_kcenter_coreset",
-    "p115_fuzzy_match", "p116_dq_rules", "p117_shard_manifest",
-    "p118_cluster_purity",
-    "p119_bloom_fp_calibration", "p120_ngram_novelty", "p121_heaps_fit",
-    "p122_tokenizer_fertility", "p123_normalization_impact",
-    "p124_annotator_agreement",
-    "p125_pca_power", "p126_stump_split", "p127_js_source_divergence",
-    "p128_lsh_bucket_skew", "p129_dedup_source_precedence", "p130_rp_sketch",
-    "p131_naive_bayes", "p132_score_calibration", "p133_roc_auc",
-    "p134_fairness_audit", "p135_poisson_bootstrap", "p136_mutual_information",
-    "p137_chi2_independence", "p138_welch_ttest", "p139_bh_fdr",
-    "p140_ks_test", "p141_spearman_corr", "p142_permutation_test",
-    "p143_quota_apportionment", "p144_dp_noisy_counts", "p145_l_diversity",
-    "p146_hrw_shards", "p147_retention_policy", "p148_watermark_audit",
-    "p149_benford_audit", "p150_cusum_changepoint", "p151_dedup_pair_eval",
-    "p152_kmv_intersection", "p153_degree_assortativity", "p154_psi_drift",
-    "p155_mann_whitney", "p156_quantile_sketch", "p157_contrastive_pairs",
-    "p158_lognormal_fit", "p159_quantile_norm_audit", "p160_idf_weighted_jaccard",
-    "p161_audio_fingerprint_dedup", "p162_cvm_two_sample",
-    "p163_chunk_boundary_audit", "p164_hill_tail_index",
-    "p165_referential_integrity", "p166_session_gap_sweep",
-    "p167_bottomk_sample", "p168_heldout_perplexity", "p169_simhash_hamming",
-    "p170_stratified_kfold", "p171_fano_burstiness", "p172_quantile_band_drift",
-    "p173_scd2_history", "p174_negative_sampling", "p175_join_size_estimator",
-    "p176_compression_proxy", "p177_blocking_recall", "p178_bloom_join_prefilter",
-    "p179_t_closeness", "p180_funnel_attribution", "p181_association_lift",
-    "p182_cuped_adjustment", "p183_stylometry_delta", "p184_upsert_merge_audit",
-    "p185_feature_hashing", "p186_quantile_treatment_effect",
-    "p187_backoff_hitrate", "p188_km_survival", "p189_code_detection",
-    "p190_dup_canonicalization")
+  private val pipelineOps: Seq[String] =
+    SparkEntry.queries.keys.toSeq.filter(_.startsWith("p"))
+      .sortBy(n => ("""\d+""".r.findFirstIn(n).map(_.toInt).getOrElse(0), n))
 
   /** The relational (q*) and ClickBench (cb*) halves of the gate (round-13
     * VERDICT #1: every gate query gets a measured 10× ratio, not just a
