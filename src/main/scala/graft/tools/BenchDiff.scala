@@ -1,0 +1,174 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Cross-cut bench adjudication, automated (round-14 VERDICT next-round #2).
+  *
+  * Every round BENCH_NOTES hand-derives the same three numbers to compare
+  * two bench artifacts whose coverage and machine temperature differ:
+  * common-coverage totals (median and min basis), canary-normalized deltas
+  * (seconds of suite per second of canary — the established ±2% ambient
+  * envelope), and a cb section verdict normalized by the cb-section-local
+  * canary (the cb total tracks that canary; raw cb totals swing ±10%
+  * between same-day cuts). This tool derives all of them mechanically from
+  * the artifacts and prints a paste-ready markdown block, so round-over-
+  * round claims stop depending on hand math.
+  *
+  * Usage: runMain graft.tools.BenchDiff <baseline.json> <candidate.json>
+  * Reads the `bench_full.json` shape (queries/clickbench sections with
+  * median+min per query, canary_median, cb_canary_median). Older artifacts
+  * without cb_canary_median fall back to the session canary for the cb
+  * verdict and say so. Dev tool — not part of the shipped library surface.
+  */
+object BenchDiff {
+
+  private val mapper = new ObjectMapper()
+
+  private case class Cut(
+      path: String,
+      queries: Map[String, (Double, Double)], // name -> (median, min)
+      cb: Map[String, (Double, Double)],
+      canary: Option[Double],
+      cbCanary: Option[Double],
+      official: Boolean)
+
+  private def section(root: JsonNode, field: String): Map[String, (Double, Double)] = {
+    val node = root.path(field)
+    if (!node.isObject) Map.empty
+    else node.fields.asScala.map { e =>
+      val v = e.getValue
+      // current shape: {"median":..,"min":..}; very old artifacts held a bare number
+      if (v.isObject)
+        e.getKey -> (v.path("median").asDouble,
+          if (v.has("min")) v.path("min").asDouble else v.path("median").asDouble)
+      else e.getKey -> (v.asDouble, v.asDouble)
+    }.toMap
+  }
+
+  private def load(path: String): Cut = {
+    val root = mapper.readTree(new java.io.File(path))
+    def opt(f: String): Option[Double] =
+      if (root.has(f) && root.path(f).isNumber) Some(root.path(f).asDouble) else None
+    Cut(path, section(root, "queries"), section(root, "clickbench"),
+      opt("canary_median"), opt("cb_canary_median"),
+      root.path("official").asBoolean(false))
+  }
+
+  private def total(m: Map[String, (Double, Double)], keys: Set[String],
+      min: Boolean): Double =
+    keys.toSeq.map(k => if (min) m(k)._2 else m(k)._1).sum
+
+  private def pct(a: Double, b: Double): Double =
+    if (a == 0) 0 else (b - a) / a * 100
+
+  private def f(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+  private def fp(x: Double): String = "%+.1f%%".formatLocal(java.util.Locale.ROOT, x)
+
+  /** Verdict on a canary-normalized delta: the ambient envelope observed
+    * since round 10 is ±2% in suite-seconds-per-canary-second units. */
+  private def verdict(normPct: Double): String =
+    if (normPct <= -2.0) "IMPROVED"
+    else if (normPct >= 2.0) "REGRESSED"
+    else "FLAT (within the ±2% canary-normalized envelope)"
+
+  def render(aPath: String, bPath: String): String = {
+    val a = load(aPath); val b = load(bPath)
+    val sb = new StringBuilder
+    def line(s: String = ""): Unit = { sb.append(s); sb.append('\n') }
+
+    val qk = a.queries.keySet & b.queries.keySet
+    val ck = a.cb.keySet & b.cb.keySet
+    line(s"### BenchDiff: ${a.path} -> ${b.path}")
+    line()
+    line(s"- coverage: baseline ${a.queries.size}+${a.cb.size}cb" +
+      s" (official=${a.official}), candidate ${b.queries.size}+${b.cb.size}cb" +
+      s" (official=${b.official}); common ${qk.size}+${ck.size}cb")
+    val onlyB = (b.queries.keySet -- a.queries.keySet).toSeq.sorted
+    if (onlyB.nonEmpty)
+      line(s"- candidate-only queries (excluded from totals): " +
+        s"${onlyB.take(8).mkString(", ")}${if (onlyB.size > 8) s" ... (${onlyB.size})" else ""}")
+
+    // ---- main section, common coverage
+    val (amed, bmed) = (total(a.queries, qk, min = false), total(b.queries, qk, min = false))
+    val (amin, bmin) = (total(a.queries, qk, min = true), total(b.queries, qk, min = true))
+    line()
+    line(s"| basis | baseline | candidate | delta |")
+    line(s"|---|---|---|---|")
+    line(s"| non-cb median (common) | ${f(amed)} s | ${f(bmed)} s | ${fp(pct(amed, bmed))} |")
+    line(s"| non-cb min (common) | ${f(amin)} s | ${f(bmin)} s | ${fp(pct(amin, bmin))} |")
+
+    // ---- canary normalization
+    (a.canary, b.canary) match {
+      case (Some(ca), Some(cb)) =>
+        val na = amed / ca; val nb = bmed / cb
+        val np = pct(na, nb)
+        line(s"| canary median | ${f(ca)} s | ${f(cb)} s | ${fp(pct(ca, cb))} |")
+        line(s"| suite-s per canary-s | ${f(na)} | ${f(nb)} | ${fp(np)} |")
+        line()
+        line(s"- **non-cb verdict: ${verdict(np)}** (raw ${fp(pct(amed, bmed))}, " +
+          s"canary-normalized ${fp(np)}; min-basis raw ${fp(pct(amin, bmin))})")
+      case _ =>
+        line()
+        line(s"- non-cb verdict: raw-only ${fp(pct(amed, bmed))} " +
+          s"(canary missing in ${if (a.canary.isEmpty) a.path else b.path})")
+    }
+
+    // ---- cb section, normalized by the cb-local canary when present
+    if (ck.nonEmpty) {
+      val (cmedA, cmedB) = (total(a.cb, ck, min = false), total(b.cb, ck, min = false))
+      val (cminA, cminB) = (total(a.cb, ck, min = true), total(b.cb, ck, min = true))
+      val (canA, canB) = (a.cbCanary.orElse(a.canary), b.cbCanary.orElse(b.canary))
+      val fallback = a.cbCanary.isEmpty || b.cbCanary.isEmpty
+      line()
+      line(s"| cb basis | baseline | candidate | delta |")
+      line(s"|---|---|---|---|")
+      line(s"| cb median (common) | ${f(cmedA)} s | ${f(cmedB)} s | ${fp(pct(cmedA, cmedB))} |")
+      line(s"| cb min (common) | ${f(cminA)} s | ${f(cminB)} s | ${fp(pct(cminA, cminB))} |")
+      (canA, canB) match {
+        case (Some(x), Some(y)) =>
+          val np = pct(cmedA / x, cmedB / y)
+          line(s"| cb canary | ${f(x)} s | ${f(y)} s | ${fp(pct(x, y))} |")
+          line()
+          line(s"- **cb verdict: ${verdict(np)}** (raw ${fp(pct(cmedA, cmedB))}, " +
+            s"cb-canary-normalized ${fp(np)}, min-basis ${fp(pct(cminA, cminB))}" +
+            s"${if (fallback) "; session-canary fallback: artifact predates cb_canary_median" else ""})")
+        case _ =>
+          line()
+          line(s"- cb verdict: raw-only ${fp(pct(cmedA, cmedB))} (no canary)")
+      }
+    }
+
+    // ---- top movers on the median basis, ambient-flagged via min basis
+    val movers = qk.toSeq.map { k =>
+      val (ma, _) = a.queries(k); val (mb, _) = b.queries(k)
+      val (na, nb) = (a.queries(k)._2, b.queries(k)._2)
+      (k, ma, mb, mb - ma, if (na > 0) nb / na else 1.0)
+    }.sortBy { case (_, _, _, d, _) => -math.abs(d) }.take(12)
+    line()
+    line(s"| top movers (median) | baseline | candidate | delta | min-ratio | read |")
+    line(s"|---|---|---|---|---|---|")
+    movers.foreach { case (k, ma, mb, d, minR) =>
+      // a median move the min basis does not corroborate is ambient noise
+      val medR = if (ma > 0) mb / ma else 1.0
+      val read =
+        if (d < 0) "faster"
+        else if (medR > 1.15 && minR <= 1.1) "ambient (min flat)"
+        else "slower"
+      line(s"| $k | ${f(ma)} | ${f(mb)} | ${fp(pct(ma, mb))} | " +
+        s"${"%.2f".formatLocal(java.util.Locale.ROOT, minR)} | $read |")
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchDiff <baseline.json> <candidate.json> [out.md]")
+    val md = render(args(0), args(1))
+    print(md)
+    // sbt's log prefix mangles blank lines; an explicit out path keeps the
+    // markdown paste-ready
+    args.lift(2).foreach(p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), md.getBytes("UTF-8")))
+  }
+}

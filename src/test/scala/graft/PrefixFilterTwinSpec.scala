@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Twin-equality proof for the prefix-filtered similarity joins (batch 49):
+  * p191/p192 must return byte-identical result sets to p17/p160 — prefix
+  * filtering is a candidate-generation optimization, never a semantics
+  * change (recall is exactly 1 by the prefix theorem; see the batch-49
+  * scaladoc for the proof). The spec also pins the structural claims the
+  * scale argument rests on: the prefix blocking set is strictly smaller
+  * than full-shingle blocking, and every above-threshold pair collides on
+  * a prefix shingle (checked by brute force here, at both sf0.001 and
+  * sf0.01 — the larger dir exercises real near-dup clusters).
+  */
+class PrefixFilterTwinSpec extends AnyFunSuite {
+  private val spark = SharedSpark.spark
+
+  private def byName(n: String) = SparkEntry.allDefs.find(_.name == n).get
+
+  private def rows(name: String, dir: String): Seq[String] =
+    byName(name).run(spark, dir).collect().toSeq
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    val tag = dir.split('/').last
+
+    test(s"p191 returns exactly p17's pairs ($tag)") {
+      val twin = rows("p191_jaccard_prefix_filter", dir)
+      val full = rows("p17_dedup_jaccard_capped", dir)
+      assert(twin == full)
+    }
+
+    test(s"p192 returns exactly p160's pairs ($tag)") {
+      val twin = rows("p192_wjaccard_prefix_filter", dir)
+      val full = rows("p160_idf_weighted_jaccard", dir)
+      assert(twin == full)
+    }
+  }
+
+  test("the prefix theorem holds pointwise at threshold 0.5 (brute force)") {
+    // Re-derive doc → rare-shingle sets in plain Scala, then check every
+    // doc pair: if Jaccard ≥ 0.5, the two prefixes (rarest-first global
+    // order, length n − ⌈n/2⌉ + 1) share a shingle.
+    val docs = Tables.df(spark, SharedSpark.sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+", -1)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .filter(_.nonEmpty).toSet)
+    val dfCount = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val cap = math.max(2L, math.floor(docs.length * 0.02).toLong)
+    val rare = docs.map { case (id, sh) =>
+      id -> sh.filter(s => dfCount(s) <= cap)
+    }.filter(_._2.nonEmpty)
+    def prefix(sh: Set[String]): Set[String] = {
+      val n = sh.size
+      val keep = n - math.ceil(n / 2.0).toInt + 1
+      sh.toSeq.sortBy(s => (dfCount(s), s)).take(keep).toSet
+    }
+    var above = 0
+    for {
+      (ia, sa) <- rare; (ib, sb) <- rare if ia < ib
+      i = (sa & sb).size if i > 0
+      j = i.toDouble / (sa.size + sb.size - i) if j >= 0.5
+    } {
+      above += 1
+      assert((prefix(sa) & prefix(sb)).nonEmpty,
+        s"pair ($ia,$ib) at J=$j escaped the prefix blocking")
+    }
+    assert(above > 0, "test data carries no above-threshold pair — vacuous")
+  }
+
+  test("prefix blocking emits strictly fewer keys than full-shingle blocking") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.dfSpread(spark, dir, "documents")
+    import org.apache.spark.sql.functions._
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(Functions.wordShingles(
+        split(lower(col("text")), "\\s+"), 3))).as("shingle"))
+    val nDocs = docs.count()
+    val cap = math.max(2L, math.floor(nDocs * 0.02).toLong)
+    val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("n_docs")), "shingle")
+      .filter(col("n_docs") <= cap)
+    val full = rare.count()
+    val pref = rare
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_docs"), col("shingle"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("rk") <= col("n") - floor((col("n") + 1) / 2).cast("bigint") + 1)
+      .count()
+    assert(pref < full, s"prefix $pref !< full $full")
+    // at t=0.5 the prefix is the rarest half plus one — expect ≈ 50-60%
+    assert(pref.toDouble / full <= 0.62, s"prefix fraction ${pref.toDouble / full}")
+  }
+}
