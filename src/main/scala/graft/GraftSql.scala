@@ -190,8 +190,8 @@ object GraftSql {
   // FROM <rel> FOR <spec> where spec ∈ {TODAY, YESTERDAY, '<ts>',
   // DATES BETWEEN a AND b, DATES IN <named range>, DATES SINCE x,
   // LAST n DAYS} (reference: opteryx/planner/sql_rewriter.py:51-55)
-  private val forClause =
-    ("""(?is)\b(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+""" +
+  private val forSpec =
+    ("""(?is)^\s+FOR\s+""" +
       """(TODAY|YESTERDAY|'[^']*'|DATES\s+BETWEEN\s+('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)|DATES\s+IN\s+(\w+)|DATES\s+SINCE\s+('[^']*'|TODAY|YESTERDAY)|LAST\s+(\d+)\s+DAYS)""" +
       """(\s+AS\s+\w+)?""").r
 
@@ -218,31 +218,44 @@ object GraftSql {
     }
 
   private def extractTemporal(sql: String): (String, Seq[TemporalRange]) = {
+    // anchors come from the shared relation-scope scan (literal-masked, any
+    // depth, targets directly after their FROM/JOIN); the FOR-spec grammar
+    // is then matched as a prefix of the text after the name + alias
+    val mask = literalMask(sql)
+    val refs = relationRefs(sql, mask, parenDepthOf(sql, mask))
+      .filter(r => r.afterKeyword && r.name.isDefined)
     val ranges = scala.collection.mutable.ArrayBuffer.empty[TemporalRange]
-    val rewritten = forClause.replaceAllIn(sql, m => {
-      val keyword = m.group(1)
-      val rel = m.group(2)
-      // keep the original name visible as alias so qualified column refs
-      // (`events.ts`) keep resolving; the alias may sit before OR after the
-      // FOR clause (`$planets FOR TODAY AS today` — reference regression
-      // corpus spelling)
-      val postAlias = Option(m.group(10))
-        .map(_.trim.replaceAll("(?i)^AS\\s+", ""))
-      val alias = postAlias.orElse(Option(m.group(3)).map(_.trim))
-        .getOrElse(rel.split('.').last.replaceAll("\\W", "_"))
-      val spec = m.group(4)
-      val specU = spec.toUpperCase
-      val (start, end) =
-        if (specU.startsWith("DATES BETWEEN")) (resolveDate(m.group(5)), resolveDate(m.group(6)))
-        else if (specU.startsWith("DATES IN")) resolveNamedRange(m.group(7))
-        else if (specU.startsWith("DATES SINCE")) (resolveDate(m.group(8)), "current_timestamp()")
-        else if (specU.startsWith("LAST")) (s"date_sub(current_date(), ${m.group(9)})", "current_timestamp()")
-        else (resolveDate(spec), resolveDate(spec))
-      val view = rel.replaceAll("\\W", "_") + "__for_" + ranges.size
-      ranges += TemporalRange(rel, start, end, view)
-      Matcher.quoteReplacement(s"$keyword $view $alias ")
-    })
-    (rewritten, ranges.toSeq)
+    val out = new StringBuilder
+    var pos = 0
+    refs.foreach { r =>
+      if (r.kwStart >= pos) forSpec.findPrefixMatchOf(sql.substring(r.refEnd)).foreach { m =>
+        val rel = r.name.get
+        // keep the original name visible as alias so qualified column refs
+        // (`events.ts`) keep resolving; the alias may sit before OR after
+        // the FOR clause (`$planets FOR TODAY AS today` — reference
+        // regression corpus spelling)
+        val postAlias = Option(m.group(7))
+          .map(_.trim.replaceAll("(?i)^AS\\s+", ""))
+        val alias = postAlias.orElse(r.alias)
+          .getOrElse(rel.split('.').last.replaceAll("\\W", "_"))
+        val spec = m.group(1)
+        val specU = spec.toUpperCase
+        val (start, end) =
+          if (specU.startsWith("DATES BETWEEN")) (resolveDate(m.group(2)), resolveDate(m.group(3)))
+          else if (specU.startsWith("DATES IN")) resolveNamedRange(m.group(4))
+          else if (specU.startsWith("DATES SINCE")) (resolveDate(m.group(5)), "current_timestamp()")
+          else if (specU.startsWith("LAST")) (s"date_sub(current_date(), ${m.group(6)})", "current_timestamp()")
+          else (resolveDate(spec), resolveDate(spec))
+        val view = rel.replaceAll("\\W", "_") + "__for_" + ranges.size
+        ranges += TemporalRange(rel, start, end, view)
+        val kwText = sql.substring(r.kwStart, r.kwStart + 4)
+        out.append(sql.substring(pos, r.kwStart))
+        out.append(s"$kwText $view $alias ")
+        pos = r.refEnd + m.end
+      }
+    }
+    out.append(sql.substring(pos))
+    (out.toString, ranges.toSeq)
   }
 
   // -- zero-config path tables --------------------------------------------
@@ -621,19 +634,6 @@ object GraftSql {
 
   // -- virtual datasets + table functions -------------------------------------
 
-  /** Keywords that can follow a FROM/JOIN target without being a binding
-    * alias, plus set-op/join connectives — never relation names. */
-  private val relStopWords = Set("where", "on", "group", "order", "having",
-    "limit", "union", "intersect", "except", "join", "inner", "left",
-    "right", "full", "cross", "natural", "as", "using", "for", "qualify")
-
-  /** Table functions that may appear as a bare FROM/JOIN target BEFORE
-    * rewriteTableFunctions runs: they produce columns under their OWN
-    * aliases, never under a virtual dataset's column names, so they must
-    * not count as a competing relation for the bare-alias guard. */
-  private val tableFnRelNames =
-    Set("unnest", "generate_series", "fake", "values", "range")
-
   /** Strip balanced outer parens from a set-operation arm: a parenthesized
     * arm (`A EXCEPT (SELECT ...)`) nests its whole SELECT one paren level
     * deep, which would hide its FROM/JOIN targets from the depth-0 scans
@@ -675,60 +675,11 @@ object GraftSql {
     val arm = stripOuterParens(rawArm)
     val mask = literalMask(arm)
     val depth = parenDepthOf(arm, mask)
-    def top(m: scala.util.matching.Regex.Match): Boolean =
-      m.start < mask.length && !mask(m.start) && depth(m.start) == 0
-    // Walk each top-level FROM list: items are separated by depth-0 commas;
-    // an item that STARTS with `(` is a derived table (a `(` after an
-    // identifier is a table-function argument list, `FROM range(0, 10)`),
-    // an item that starts with an identifier contributes a relation name
-    // (its binding alias is consumed as a non-item token). The walk stops
-    // at the first clause-boundary keyword; JOIN targets are collected by
-    // the regex below and `JOIN (` by its own opaque check.
-    def fromListInfo: (Set[String], Boolean) = {
-      var names = Set.empty[String]
-      var derived = false
-      """(?i)\bFROM\b""".r.findAllMatchIn(arm).filter(top).foreach { m =>
-        var i = m.end
-        var d = 0
-        var expectItem = true // at FROM start and after each depth-0 comma
-        var done = false
-        while (i < arm.length && !done) {
-          val c = arm.charAt(i)
-          if (mask(i)) i += 1
-          else if (c == '(') {
-            if (expectItem && d == 0) { derived = true; expectItem = false }
-            d += 1; i += 1
-          } else if (c == ')') {
-            if (d == 0) done = true else { d -= 1; i += 1 }
-          } else if (c == ',' && d == 0) { expectItem = true; i += 1 }
-          else if (c.isWhitespace) i += 1
-          else if (d == 0 && (c.isLetter || c == '_' || c == '$')) {
-            var w = i
-            while (w < arm.length && (arm.charAt(w).isLetterOrDigit ||
-                arm.charAt(w) == '_' || arm.charAt(w) == '.' || arm.charAt(w) == '$')) w += 1
-            val word = arm.substring(i, w)
-            val lw = word.toLowerCase
-            if (lw != "as" && relStopWords(lw)) done = true
-            else {
-              if (expectItem && !tableFnRelNames(lw)) names += word
-              expectItem = false
-              i = w
-            }
-          } else { expectItem = false; i += 1 }
-        }
-      }
-      (names, derived)
-    }
-    val (fromNames, fromDerived) = fromListInfo
-    val joinNames =
-      """(?i)\bJOIN\s+([A-Za-z_$][\w.$]*)""".r
-        .findAllMatchIn(arm)
-        .filter(top)
-        .map(_.group(1))
-        .filterNot(w => relStopWords(w.toLowerCase))
-        .filterNot(w => tableFnRelNames(w.toLowerCase))
-        .toSet
-    val named = fromNames ++ joinNames
+    val refs = relationRefs(arm, mask, depth).filter(_.depth == 0)
+    val named = refs.filter(r => r.name.isDefined && !r.tableFn)
+      .flatMap(_.name).toSet
+    val fromDerived =
+      refs.exists(r => r.keyword == "from" && r.name.isEmpty && !r.quoted)
     // A FROM-position derived table only COMPETES with the view when the
     // view itself is a depth-0 relation of the arm (`FROM $view,
     // (SELECT...) t` / `FROM (SELECT...) t JOIN $view`): then the derived
@@ -737,9 +688,10 @@ object GraftSql {
     // the subquery is the view's own scope and the rewrite must stay
     // enabled — the reference optimizer corpus leans on exactly that shape.
     val opaque =
-      """(?i)\bJOIN\s*\(""".r.findAllMatchIn(arm).exists(top) ||
-        """(?i)\bLATERAL\b""".r.findAllMatchIn(arm).exists(top) ||
-        """(?i)\b(?:FROM|JOIN)\s+"""".r.findAllMatchIn(arm).exists(top) ||
+      refs.exists(r => r.keyword == "join" && r.name.isEmpty && !r.quoted) ||
+        refs.exists(_.quoted) ||
+        """(?i)\bLATERAL\b""".r.findAllMatchIn(arm)
+          .exists(m => m.start < mask.length && !mask(m.start) && depth(m.start) == 0) ||
         (named.contains(view) && fromDerived)
     if (opaque) None else Some(named - view)
   }
@@ -800,10 +752,11 @@ object GraftSql {
   private def rewriteAliasesInArm(arm: String, view: String,
       aliases: Seq[(String, String)],
       schemaOf: String => Option[Set[String]]): String = {
+    val armMask = literalMask(arm)
     val quals = Set(view) ++
-      ("""(?i)\b(?:FROM|JOIN)\s+""" + view + """(?:\s+AS)?\s+(\w+)""").r
-        .findAllMatchIn(arm).map(_.group(1))
-        .filterNot(w => relStopWords(w.toLowerCase))
+      relationRefs(arm, armMask, parenDepthOf(arm, armMask))
+        .filter(r => r.afterKeyword && r.name.contains(view))
+        .flatMap(_.alias)
     val competing = armCompetingRelations(arm, view)
     aliases.foldLeft(arm) { case (t, (alias, primary)) =>
       val qualified = replaceOutsideLiterals(

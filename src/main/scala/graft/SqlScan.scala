@@ -450,4 +450,172 @@ private[graft] object SqlScan {
     val ends = cuts.map(_._1) ::: List(s.length)
     starts.zip(ends)
   }
+
+  /** Keywords that can follow a FROM/JOIN target without being a binding
+    * alias, plus set-op/join connectives — never relation names. */
+  val relStopWords: Set[String] = Set("where", "on", "group", "order",
+    "having", "limit", "union", "intersect", "except", "join", "inner",
+    "left", "right", "full", "cross", "natural", "as", "using", "for",
+    "qualify")
+
+  /** Table functions that may appear as a bare FROM/JOIN target BEFORE
+    * rewriteTableFunctions runs: they produce columns under their OWN
+    * aliases, never under a virtual dataset's column names, so they must
+    * not count as a competing relation for the bare-alias guard. */
+  val tableFnRelNames: Set[String] =
+    Set("unnest", "generate_series", "fake", "values", "range")
+
+  /** One FROM-list item or JOIN target found by [[relationRefs]].
+    *
+    *  - `keyword`      "from" (a FROM-list item) or "join"
+    *  - `name`         None for a derived table (the item/target is `(`)
+    *                   or a double-quoted relation name
+    *  - `alias`        the binding alias directly after the name
+    *                   (optional `AS`), absent when the next token is a
+    *                   clause keyword from [[relStopWords]]
+    *  - `afterKeyword` the target sits DIRECTLY after its FROM/JOIN (the
+    *                   first FROM-list item, or any JOIN target); items
+    *                   after a depth-local comma carry `false`
+    *  - `kwStart`      start of the owning FROM/JOIN keyword
+    *  - `refEnd`       just past the name and alias — where a temporal
+    *                   `FOR` clause would begin
+    *  - `depth`        paren depth of the owning FROM/JOIN keyword
+    *  - `quoted`       a double-quoted target directly after the keyword
+    *  - `tableFn`      the name is one of [[tableFnRelNames]]
+    */
+  final case class RelRef(
+      keyword: String,
+      name: Option[String],
+      alias: Option[String],
+      afterKeyword: Boolean,
+      kwStart: Int,
+      nameStart: Int,
+      refEnd: Int,
+      depth: Int,
+      quoted: Boolean,
+      tableFn: Boolean)
+
+  private def isWordStart(c: Char): Boolean =
+    c.isLetter || c == '_' || c == '$'
+
+  private def wordEnd(s: String, i: Int): Int = {
+    var w = i
+    while (w < s.length && (s.charAt(w).isLetterOrDigit ||
+        s.charAt(w) == '_' || s.charAt(w) == '.' || s.charAt(w) == '$')) w += 1
+    w
+  }
+
+  /** Binding alias directly after a relation name ending at `from`:
+    * optional `AS`, then one word that is not a clause keyword. Returns
+    * (alias, position-just-past-what-was-consumed). */
+  private def aliasAfter(s: String, from: Int): (Option[String], Int) = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length || !isWordStart(s.charAt(i))) return (None, from)
+    var w = wordEnd(s, i)
+    var word = s.substring(i, w)
+    if (word.equalsIgnoreCase("as")) {
+      var j = w
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j >= s.length || !isWordStart(s.charAt(j))) return (None, from)
+      w = wordEnd(s, j)
+      word = s.substring(j, w)
+      if (relStopWords(word.toLowerCase)) (None, from) else (Some(word), w)
+    } else if (relStopWords(word.toLowerCase)) (None, from)
+    else (Some(word), w)
+  }
+
+  /** The statement's relation references — every FROM-list item and JOIN
+    * target at EVERY paren depth, literal-masked. This is the ONE scope
+    * scan consumed by the virtual-dataset alias guard, its qualified-alias
+    * pass, and the temporal `FOR` extractor (each formerly re-derived
+    * relation scope through its own regex walk — the recurring-bug class
+    * the fuzz tiers police).
+    *
+    * The FROM-list walk matches the historical contract exactly: items are
+    * separated by depth-local commas; an item that STARTS with `(` is a
+    * derived table (a `(` after an identifier is a table-function argument
+    * list, `FROM range(0, 10)`); an item starting with an identifier
+    * contributes a name; the walk stops at the first clause-boundary
+    * keyword; a `)` below the local depth ends the list (the enclosing
+    * subquery closes). JOIN targets are scanned independently; `JOIN (` and
+    * quoted targets surface as name-less refs for the caller's opacity
+    * policy. */
+  def relationRefs(s: String, mask: Array[Boolean],
+      depthArr: Array[Int]): Seq[RelRef] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RelRef]
+    """(?i)\bJOIN\b\s*""".r.findAllMatchIn(s)
+      .filter(m => m.start < mask.length && !mask(m.start)).foreach { m =>
+        val i = m.end
+        if (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '(')
+            out += RelRef("join", None, None, afterKeyword = true, m.start,
+              i, i + 1, depthArr(m.start), quoted = false, tableFn = false)
+          else if (c == '"')
+            out += RelRef("join", None, None, afterKeyword = true, m.start,
+              i, i + 1, depthArr(m.start), quoted = true, tableFn = false)
+          else if (isWordStart(c)) {
+            val w = wordEnd(s, i)
+            val name = s.substring(i, w)
+            if (!relStopWords(name.toLowerCase)) {
+              val (alias, e) = aliasAfter(s, w)
+              out += RelRef("join", Some(name), alias, afterKeyword = true,
+                m.start, i, e, depthArr(m.start), quoted = false,
+                tableFnRelNames(name.toLowerCase))
+            }
+          }
+        }
+      }
+    """(?i)\bFROM\b""".r.findAllMatchIn(s)
+      .filter(m => m.start < mask.length && !mask(m.start)).foreach { m =>
+        val kwDepth = depthArr(m.start)
+        var i = m.end
+        var d = 0
+        var expectItem = true // at FROM start and after each depth-local comma
+        var first = true
+        var done = false
+        while (i < s.length && !done) {
+          val c = s.charAt(i)
+          if (mask(i)) i += 1
+          else if (c == '(') {
+            if (expectItem && d == 0) {
+              out += RelRef("from", None, None, afterKeyword = first,
+                m.start, i, i + 1, kwDepth, quoted = false, tableFn = false)
+              first = false
+              expectItem = false
+            }
+            d += 1; i += 1
+          } else if (c == ')') {
+            if (d == 0) done = true else { d -= 1; i += 1 }
+          } else if (c == ',' && d == 0) { expectItem = true; i += 1 }
+          else if (c == '"' && d == 0 && expectItem && first) {
+            // a quoted name directly after FROM: opacity-relevant; quoted
+            // comma-items are skipped as noise (historical contract)
+            out += RelRef("from", None, None, afterKeyword = true, m.start,
+              i, i + 1, kwDepth, quoted = true, tableFn = false)
+            first = false
+            expectItem = false
+            i += 1
+          } else if (c.isWhitespace) i += 1
+          else if (d == 0 && isWordStart(c)) {
+            val w = wordEnd(s, i)
+            val word = s.substring(i, w)
+            val lw = word.toLowerCase
+            if (lw != "as" && relStopWords(lw)) done = true
+            else {
+              if (expectItem) {
+                val (alias, e) = aliasAfter(s, w)
+                out += RelRef("from", Some(word), alias, afterKeyword = first,
+                  m.start, i, e, kwDepth, quoted = false, tableFnRelNames(lw))
+              }
+              first = false
+              expectItem = false
+              i = w
+            }
+          } else { first = false; expectItem = false; i += 1 }
+        }
+      }
+    out.sortBy(_.nameStart).toSeq
+  }
 }

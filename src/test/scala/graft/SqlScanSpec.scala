@@ -128,4 +128,51 @@ class SqlScanSpec extends AnyFunSuite {
     assert(arms("SELECT * EXCEPT (x) FROM t UNION ALL SELECT 1").size == 2,
       "EXCEPT( is column exclusion, UNION still cuts")
   }
+
+  test("relationRefs: FROM items, aliases, derived tables, table functions") {
+    def refs(s: String) = {
+      val m = maskOf(s)
+      relationRefs(s, m, parenDepthOf(s, m))
+    }
+    // names + aliases, AS optional, clause keywords never aliases
+    val r1 = refs("SELECT * FROM orders o JOIN customer AS c ON o.k = c.k WHERE 1=1")
+    assert(r1.map(r => (r.keyword, r.name, r.alias)) == Seq(
+      ("from", Some("orders"), Some("o")),
+      ("join", Some("customer"), Some("c"))))
+    assert(r1.forall(_.afterKeyword))
+    // comma list: later items are not afterKeyword; stopword ends capture
+    val r2 = refs("SELECT * FROM a, b x, c WHERE y")
+    assert(r2.map(r => (r.name, r.alias, r.afterKeyword)) == Seq(
+      (Some("a"), None, true), (Some("b"), Some("x"), false),
+      (Some("c"), None, false)))
+    // derived tables are name-less; table functions flagged
+    val r3 = refs("SELECT * FROM (SELECT 1) t JOIN UNNEST(xs) u")
+    assert(r3.head.name.isEmpty && r3.head.keyword == "from")
+    assert(r3.last.tableFn && r3.last.name.contains("UNNEST"))
+    // FROM range(0, 10): identifier then paren is a table fn, not derived
+    val r4 = refs("SELECT * FROM range(0, 10)")
+    assert(r4.map(r => (r.name, r.tableFn)) == Seq((Some("range"), true)))
+    // JOIN ( and quoted targets are name-less (opacity hooks)
+    val r5 = refs("""SELECT * FROM t JOIN (SELECT 1) s ON 1=1""")
+    assert(r5.exists(r => r.keyword == "join" && r.name.isEmpty && !r.quoted))
+    assert(refs("""SELECT * FROM "weird name"""").exists(_.quoted))
+  }
+
+  test("relationRefs: depth, literal masking, nested FROM") {
+    def refs(s: String) = {
+      val m = maskOf(s)
+      relationRefs(s, m, parenDepthOf(s, m))
+    }
+    // a subquery's FROM is recorded at its own depth
+    val r = refs("SELECT * FROM (SELECT k FROM inner_t i) sub JOIN outer_t")
+    assert(r.filter(_.depth == 0).flatMap(_.name) == Seq("outer_t"))
+    assert(r.exists(x => x.name.contains("inner_t") && x.depth == 1 &&
+      x.alias.contains("i")))
+    // FROM inside a string literal is content, not a relation
+    assert(refs("SELECT 'copied FROM x' FROM real_t").flatMap(_.name)
+      == Seq("real_t"))
+    // dotted and $-prefixed names survive
+    assert(refs("SELECT * FROM db.sch.t JOIN $planets p").flatMap(_.name)
+      == Seq("db.sch.t", "$planets"))
+  }
 }
