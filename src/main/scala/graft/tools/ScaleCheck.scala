@@ -28,8 +28,17 @@ import graft.{GraftSession, SparkEntry, Tables}
   */
 object ScaleCheck {
   private val srcDir = "/root/testdata/sf0.1"
-  private val outDir = "/tmp/sf1_synth"
-  private val factor = 10
+
+  /** SPARK_GRAFT_SCALE_FACTOR=100 switches to the 100x tier (sibling
+    * artifact bench_sf10_synth.json, synth at /tmp/sf10_synth) — used for
+    * the round-14 VERDICT #4 trend-line spot checks on the >5-ratio
+    * entries. Default is the standing 10x gate. */
+  private val factor: Int =
+    sys.env.get("SPARK_GRAFT_SCALE_FACTOR").map(_.toInt).getOrElse(10)
+  private val outDir =
+    if (factor == 10) "/tmp/sf1_synth" else s"/tmp/sf${factor / 10}_synth"
+  private val artifactName =
+    if (factor == 10) "bench_sf1_synth.json" else s"bench_sf${factor / 10}_synth.json"
 
   /** Every pipeline op, derived from the SparkEntry registry so a new
     * p-batch is scale-checked by default instead of silently omitted (the
@@ -147,7 +156,7 @@ object ScaleCheck {
       println(f"SCALECHECK $name sf0.1=$tSmall%.2fs synth10x=$tBig%.2fs ratio=$ratio%.2f flags=${flags.mkString("+")}")
       (name, tSmall, tBig, ratio, flags)
     }
-    val artifact = java.nio.file.Paths.get("bench_sf1_synth.json")
+    val artifact = java.nio.file.Paths.get(artifactName)
     // Merge with any prior (e.g. per-op-JVM) runs: last write per op wins.
     val prior: Map[String, String] =
       if (java.nio.file.Files.exists(artifact)) {
@@ -160,7 +169,7 @@ object ScaleCheck {
     }.toMap
     val json = allOps.filter(merged.contains).map(n => s""""$n":${merged(n)}""")
       .mkString(
-        s"""{"metric":"sf1_synth","factor":$factor,"src":"$srcDir","queries":{""",
+        s"""{"metric":"sf${factor / 10}_synth","factor":$factor,"src":"$srcDir","queries":{""",
         ",", "}}")
     java.nio.file.Files.write(artifact, json.getBytes("UTF-8"))
     println(json)

@@ -70,6 +70,20 @@ class BoundedWindowSpec extends AnyFunSuite {
       "the BH step-up rank/count windows run over the per-source statistic " +
         "frame — |sources| rows at ANY corpus size (20 here); the corpus-" +
         "sized work is the upstream sufficient-sum partial agg"),
+    "p200_sprt_sequential" -> (4096L,
+      "the LLR cumulation runs over the per-DAY frame — bounded by the " +
+        "date span at ANY corpus size (the p150 class)"),
+    "p201_daily_autocorrelation" -> (4096L,
+      "the row numbering runs over the per-DAY frame — bounded by the " +
+        "date span at ANY corpus size (the p150 class)"),
+    "p194_conformal_coverage" -> (4096L,
+      "the residual-quantile cumulation (ExactPercentile two-phase) runs " +
+        "over the integer-bucketed |value-mu| histogram — value-domain " +
+        "bounded (~500 cells) at ANY corpus size; corpus-sized work is the " +
+        "upstream partial agg"),
+    "p197_quality_pareto" -> (1024L,
+      "the cumulative-token-share window runs over the per-SOURCE quality " +
+        "ranking — |sources| rows at ANY corpus size (20 here)"),
     "p135_poisson_bootstrap" -> (512L,
       "the CI percentile cumulation (ExactPercentile one-level histogram) " +
         "runs over the B=200 replicate-mean frame — 200 rows at ANY corpus " +

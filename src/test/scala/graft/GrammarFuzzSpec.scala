@@ -463,4 +463,64 @@ class GrammarFuzzSpec extends AnyFunSuite {
         })
     }
   }
+
+  test("catalog-resolved bare aliases: generated join grammar with schema-distinct competitors") {
+    // r14 VERDICT optional-hardening: the catalog-aware guard's POSITIVE
+    // branch (every competing named relation's schema lacks the aliased
+    // column, so the bare alias can only bind the view) was example-covered
+    // in RewriteFuzzSpec; here the grammar composes it — random join kind,
+    // competitor schema/name, alias position (select list, WHERE, ORDER BY),
+    // hazard literal, and an optional second set-op arm — against a ground
+    // truth read through the qualified sole-relation form. A competitor
+    // carrying the column is generated in ~1/4 of cases as the in-grammar
+    // negative control (the rewrite must suppress and the bare name binds
+    // the competitor).
+    import spark.implicits._
+    val r = new Random(1616L)
+    val joinKinds = Seq("JOIN", "INNER JOIN", "LEFT JOIN", "CROSS JOIN")
+    def hz = hazards(r.nextInt(hazards.length)).replace("'", "''")
+    val want: Map[Int, Long] = (1 to 3).map { id =>
+      id -> g.query(s"SELECT $$satellites.planetId FROM $$satellites WHERE id = $id")
+        .head().get(0).toString.toDouble.toLong
+    }.toMap
+    (1 to 60).foreach { i =>
+      val id = 1 + r.nextInt(3)
+      val negative = r.nextInt(4) == 0
+      val comp = s"fz_cat_$i"
+      val extraCols = Seq("tag", "grp", "note").take(1 + r.nextInt(2))
+      val sentinel = 9000L + i
+      if (negative)
+        Seq((id.toLong, sentinel))
+          .toDF("sid", "planet_id").createOrReplaceTempView(comp)
+      else
+        Seq((id.toLong, extraCols.map(c => s"$c$i").mkString("|")))
+          .toDF("sid", extraCols.head).createOrReplaceTempView(comp)
+      val jk = joinKinds(r.nextInt(joinKinds.length))
+      val onClause =
+        if (jk == "CROSS JOIN") s" WHERE $comp.sid = $$satellites.id"
+        else s" ON $comp.sid = $$satellites.id"
+      val viewFirst = r.nextBoolean()
+      val rels =
+        if (viewFirst) s"$$satellites $jk $comp$onClause"
+        else s"$comp $jk $$satellites$onClause"
+      val aliasPos = r.nextInt(3)
+      val conj = if (jk == "CROSS JOIN") "AND" else "WHERE"
+      val core = aliasPos match {
+        case 0 => s"SELECT planet_id AS v, '$hz' AS h FROM $rels $conj $$satellites.id = $id"
+        case 1 => s"SELECT count(*) * 0 + max(planet_id) AS v, min('$hz') AS h FROM $rels $conj planet_id >= -1 AND $$satellites.id = $id"
+        case _ => s"SELECT planet_id AS v, '$hz' AS h FROM $rels $conj $$satellites.id = $id ORDER BY planet_id"
+      }
+      val stmt =
+        // an unparenthesized arm-level ORDER BY cannot precede UNION
+        if (aliasPos != 2 && r.nextInt(3) == 0)
+          s"$core UNION ALL SELECT -1 AS v, 'arm2' AS h FROM $comp"
+        else core
+      val expect = if (negative) sentinel else want(id)
+      runOne(900 + i, stmt, { row =>
+        val got = row.get(0).toString.toDouble.toLong
+        assert(got == expect || got == -1L,
+          s"bare planet_id bound wrong (got $got want $expect, negative=$negative)")
+      })
+    }
+  }
 }
