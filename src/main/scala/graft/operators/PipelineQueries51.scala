@@ -35,10 +35,13 @@ import graft.{QueryDef, Tables}
   *    spelled weekday()+1 / isodow() so both engines agree (their native
   *    dayofweek() enumerations differ).
   *
-  *  - p204 n-gram novelty: share of each document's distinct trigrams
-  *    whose FIRST corpus occurrence (min doc_id — one groupBy, never an
-  *    ordered scan) is the document itself, aggregated per source — how
-  *    much genuinely new content each source contributes vs recombination.
+  *  - p204 calendar completeness: the observed date span expanded to a
+  *    full calendar (bounded day frame), rolled to per-month expected vs
+  *    observed day counts and row volume — the ingest audit that finds
+  *    MISSING days/partitions, complementing p88/p166 (real inter-event
+  *    gaps) and p148 (late arrivals). A first draft of this slot (n-gram
+  *    novelty per source) was dropped pre-verification as a duplicate of
+  *    p120's per-doc novelty profile.
   *
   * Determinism: integer/DECIMAL sufficient sums, 9dp-rounded terms before
   * summation, literal ln constants, bounded-frame windows only, ordered
@@ -283,44 +286,51 @@ object PipelineQueries51 {
         .orderBy(col("dow"))
     },
 
-    // --------------------- n-gram novelty per source (p204)
-    QueryDef("p204_ngram_novelty", Some("""
-      WITH tg AS (
-        SELECT doc_id, unnest(list_distinct(sh)) AS tg FROM (
-          SELECT doc_id, list_transform(
-                   range(1, greatest(len(t) - 2, 0) + 1),
-                   i -> array_to_string(t[i:i+2], ' ')) AS sh
-          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-                FROM documents) x) y),
-      fo AS (SELECT tg, min(doc_id) AS first_doc FROM tg GROUP BY tg),
-      perdoc AS (
-        SELECT t.doc_id,
-               CAST(round(CAST(sum(CASE WHEN f.first_doc = t.doc_id
-                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9)
-                 AS DECIMAL(38,9)) AS novelty
-        FROM tg t JOIN fo f ON t.tg = f.tg GROUP BY t.doc_id)
-      SELECT d.source,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             round(CAST(sum(p.novelty) AS DOUBLE) / count(*), 6)
-               AS mean_novelty
-      FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
-      GROUP BY d.source ORDER BY d.source""")) { (s, dir) =>
-      val docs = Tables.dfSpread(s, dir, "documents")
-      val tg = docs.select(col("doc_id"),
-        explode(array_distinct(graft.Functions.wordShingles(
-          split(lower(col("text")), "\\s+"), 3))).as("tg"))
-      // first occurrence by min(doc_id): one groupBy, never an ordered scan
-      val fo = tg.groupBy(col("tg")).agg(min(col("doc_id")).as("first_doc"))
-      val perdoc = tg.join(fo, "tg")
-        .groupBy(col("doc_id"))
-        .agg(round(sum(when(col("first_doc") === col("doc_id"), 1L)
-            .otherwise(0L)).cast("double") / count(lit(1)), 9)
-          .cast("decimal(38,9)").as("novelty"))
-      perdoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("novelty")).cast("double") / count(lit(1)), 6)
-            .as("mean_novelty"))
-        .orderBy(col("source"))
+    // --------------------- calendar completeness audit (p204)
+    QueryDef("p204_calendar_completeness", Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+      cal AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM span),
+      expect AS (
+        SELECT date_trunc('month', d)::DATE AS month,
+               CAST(count(*) AS BIGINT) AS days_expected
+        FROM cal GROUP BY 1),
+      obs AS (
+        SELECT date_trunc('month', d)::DATE AS month,
+               CAST(count(*) AS BIGINT) AS days_observed,
+               CAST(sum(c) AS BIGINT) AS n_rows
+        FROM daily GROUP BY 1)
+      SELECT e.month, e.days_expected,
+             coalesce(o.days_observed, 0) AS days_observed,
+             round(CAST(coalesce(o.days_observed, 0) AS DOUBLE)
+               / e.days_expected, 6) AS completeness,
+             coalesce(o.n_rows, 0) AS n_rows
+      FROM expect e LEFT JOIN obs o ON e.month = o.month
+      ORDER BY e.month""")) { (s, dir) =>
+      val daily = Tables.df(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      // the calendar frame is the observed date span — bounded at any
+      // corpus size; an ingest-completeness audit distinct from p88/p166
+      // (real inter-event gaps) and p148 (late arrivals): it finds days
+      // and partitions that are MISSING entirely
+      val cal = span.select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("d"))
+      val expect = cal.groupBy(trunc(col("d"), "month").as("month"))
+        .agg(count(lit(1)).as("days_expected"))
+      val obs = daily.groupBy(trunc(col("d"), "month").as("month"))
+        .agg(count(lit(1)).as("days_observed"), sum(col("c")).as("n_rows"))
+      expect.join(obs, Seq("month"), "left")
+        .select(col("month"), col("days_expected"),
+          coalesce(col("days_observed"), lit(0L)).as("days_observed"),
+          round(coalesce(col("days_observed"), lit(0L)).cast("double") /
+            col("days_expected"), 6).as("completeness"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        .orderBy(col("month"))
     })
 }

@@ -4,8 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.math.BigDecimal.RoundingMode
 
 /** Batch-51 differentials: jackknife influence, SPRT, daily ACF, design
-  * effect, dow seasonality, n-gram novelty — re-derived in plain Scala at
-  * sf0.001.
+  * effect, dow seasonality, calendar completeness — re-derived in plain
+  * Scala at sf0.001.
   */
 class PipelineBatch51Spec extends AnyFunSuite {
   private val spark = SharedSpark.spark
@@ -128,26 +128,29 @@ class PipelineBatch51Spec extends AnyFunSuite {
     assert(strengths.head >= 0.0 && strengths.head <= 1.0)
   }
 
-  test("p204: novelty equals the first-occurrence recount; early docs more novel") {
-    val tris = docs.map { case (id, t, src, _) =>
-      (id, src, t.toLowerCase.split("\\s+", -1).sliding(3).filter(_.length == 3)
-        .map(_.mkString(" ")).filter(_.nonEmpty).toSet)
-    }.filter(_._3.nonEmpty)
-    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
-    tris.sortBy(_._1).foreach { case (id, _, ts) =>
-      ts.foreach(t => if (!firstDoc.contains(t)) firstDoc(t) = id)
-    }
-    val perDoc = tris.map { case (id, src, ts) =>
-      (src, bd9(ts.count(t => firstDoc(t) == id).toDouble / ts.size))
-    }
-    val rows = byName("p204_ngram_novelty").run(spark, SharedSpark.sf).collect()
-    val bySrc = perDoc.groupBy(_._1)
-    assert(rows.map(_.getString(0)).toSet == bySrc.keySet)
+  test("p204: calendar completeness equals the span recount") {
+    val days = events.map(_._3).distinct
+    val lo = days.minBy(_.toEpochDay)
+    val hi = days.maxBy(_.toEpochDay)
+    val cal = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).toSeq
+    val expect = cal.groupBy(d => (d.getYear, d.getMonthValue)).view
+      .mapValues(_.length).toMap
+    val obsDays = days.groupBy(d => (d.getYear, d.getMonthValue)).view
+      .mapValues(_.length).toMap
+    val rowsPerMonth = events.groupBy(e => (e._3.getYear, e._3.getMonthValue))
+      .view.mapValues(_.length.toLong).toMap
+    val rows = byName("p204_calendar_completeness").run(spark, SharedSpark.sf)
+      .collect()
+    assert(rows.length == expect.size)
     rows.foreach { r =>
-      val ns = bySrc(r.getString(0)).map(_._2)
-      assert(r.getLong(1) == ns.length.toLong)
-      assert(r.getDouble(2) == rN(ns.sum.toDouble / ns.length, 6),
-        s"source ${r.getString(0)}")
+      val m = r.getDate(0).toLocalDate
+      val key = (m.getYear, m.getMonthValue)
+      assert(m.getDayOfMonth == 1, "month column must be truncated")
+      assert(r.getLong(1) == expect(key).toLong)
+      assert(r.getLong(2) == obsDays.getOrElse(key, 0).toLong)
+      assert(r.getDouble(3) == rN(
+        obsDays.getOrElse(key, 0).toDouble / expect(key), 6))
+      assert(r.getLong(4) == rowsPerMonth.getOrElse(key, 0L))
     }
   }
 }
