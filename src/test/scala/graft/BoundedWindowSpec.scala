@@ -70,6 +70,10 @@ class BoundedWindowSpec extends AnyFunSuite {
       "the BH step-up rank/count windows run over the per-source statistic " +
         "frame — |sources| rows at ANY corpus size (20 here); the corpus-" +
         "sized work is the upstream sufficient-sum partial agg"),
+    "p209_decile_lift_table" -> (65536L,
+      "the decile-boundary cumulations (ExactPercentile one-level histogram " +
+        "over the integer activity domain) and the 10-row gains walk — " +
+        "value-domain-bounded at ANY corpus size (the p78 class)"),
     "p200_sprt_sequential" -> (4096L,
       "the LLR cumulation runs over the per-DAY frame — bounded by the " +
         "date span at ANY corpus size (the p150 class)"),
