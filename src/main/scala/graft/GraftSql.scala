@@ -248,7 +248,10 @@ object GraftSql {
           else (resolveDate(spec), resolveDate(spec))
         val view = rel.replaceAll("\\W", "_") + "__for_" + ranges.size
         ranges += TemporalRange(rel, start, end, view)
-        val kwText = sql.substring(r.kwStart, r.kwStart + 4)
+        // Slice length derives from the ref's keyword (round-15 ADVICE:
+        // the literal 4 hard-coded "every RelRef keyword is FROM/JOIN" —
+        // true today, but a new keyword would silently mis-slice).
+        val kwText = sql.substring(r.kwStart, r.kwStart + r.keyword.length)
         out.append(sql.substring(pos, r.kwStart))
         out.append(s"$kwText $view $alias ")
         pos = r.refEnd + m.end

@@ -150,7 +150,12 @@ object PipelineQueries {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
-      val sh = Tables.dfSpread(s, dir, "documents")
+      // Uncapped all-pairs TRUTH TIER: quadratic on purpose (exact
+      // verification baseline). Bounded by contract like p17/p160 — past
+      // the bound the prefix-filtered family (p191) is the scale plan.
+      val sh = TruthTier.guard(Tables.dfSpread(s, dir, "documents"),
+          "p04_dedup_jaccard", "p191_jaccard_prefix_filter",
+          TruthTier.documentsBound)
         .select(col("doc_id"), explode(shingles(toks(col("text")), 3)).as("shingle"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.alias("a")
@@ -178,7 +183,12 @@ object PipelineQueries {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
       ORDER BY vec_a, vec_b""")) { (s, dir) =>
-      val e = Tables.dfSpread(s, dir, "embeddings")
+      // All-pairs TRUTH TIER: exact verification baseline, quadratic on
+      // purpose; bounded by contract — the LSH bucket join (p07) is the
+      // scale path past the bound.
+      val e = TruthTier.guard(Tables.dfSpread(s, dir, "embeddings"),
+        "p05_dedup_embedding", "p07_similarity_lsh",
+        TruthTier.embeddingsBound)
       val a = e.alias("a")
       val b = e.alias("b")
       val cos = Functions.cosineSimilarity(col("a.embedding"), col("b.embedding"))

@@ -97,7 +97,14 @@ object PipelineQueries2 {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
-      val docs = Tables.dfSpread(s, dir, "documents")
+      // Capped TRUTH TIER (r15 VERDICT #3): full rare-shingle blocking is
+      // measured DNF at 100x (bench_sf10_synth.json); past the bound the
+      // byte-identical prefix-filtered twin p191 is the plan to run
+      // (PrefixFilterTwinSpec pins equality), so oversized corpora are
+      // refused fast instead of launched forever.
+      val docs = TruthTier.guard(Tables.dfSpread(s, dir, "documents"),
+        "p17_dedup_jaccard_capped", "p191_jaccard_prefix_filter",
+        TruthTier.documentsBound)
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           split(lower(col("text")), "\\s+"), 3))).as("shingle"))

@@ -410,7 +410,12 @@ object PipelineQueries43 {
               / (CAST(wa.w AS DOUBLE) + CAST(wb.w AS DOUBLE)
                  - CAST(shared AS DOUBLE)) >= 0.4
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
-      val docs = Tables.dfSpread(s, dir, "documents")
+      // Capped TRUTH TIER (r15 VERDICT #3): measured DNF at 100x; the
+      // byte-identical prefix-filtered twin p192 is the scale plan
+      // (PrefixFilterTwinSpec), so oversized corpora are refused fast.
+      val docs = TruthTier.guard(Tables.dfSpread(s, dir, "documents"),
+        "p160_idf_weighted_jaccard", "p192_wjaccard_prefix_filter",
+        TruthTier.documentsBound)
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           toks(col("text")), 3))).as("shingle"))

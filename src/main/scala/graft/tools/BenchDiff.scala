@@ -39,10 +39,13 @@ object BenchDiff {
     else node.fields.asScala.map { e =>
       val v = e.getValue
       // current shape: {"median":..,"min":..}; very old artifacts held a bare number
-      if (v.isObject)
+      if (v.isObject) {
+        // fail loudly on a malformed entry — path().asDouble would coerce a
+        // missing median to 0.0 and silently zero the totals (r15 ADVICE)
+        require(v.has("median"), s"$field: ${e.getKey} lacks median")
         e.getKey -> (v.path("median").asDouble,
           if (v.has("min")) v.path("min").asDouble else v.path("median").asDouble)
-      else e.getKey -> (v.asDouble, v.asDouble)
+      } else e.getKey -> (v.asDouble, v.asDouble)
     }.toMap
   }
 
@@ -72,8 +75,10 @@ object BenchDiff {
     else if (normPct >= 2.0) "REGRESSED"
     else "FLAT (within the ±2% canary-normalized envelope)"
 
-  def render(aPath: String, bPath: String): String = {
-    val a = load(aPath); val b = load(bPath)
+  def render(aPath: String, bPath: String): String =
+    renderCuts(load(aPath), load(bPath))
+
+  private def renderCuts(a: Cut, b: Cut): String = {
     val sb = new StringBuilder
     def line(s: String = ""): Unit = { sb.append(s); sb.append('\n') }
 
@@ -149,10 +154,14 @@ object BenchDiff {
     line(s"| top movers (median) | baseline | candidate | delta | min-ratio | read |")
     line(s"|---|---|---|---|---|---|")
     movers.foreach { case (k, ma, mb, d, minR) =>
-      // a median move the min basis does not corroborate is ambient noise
+      // a median move the min basis does not corroborate is ambient noise —
+      // in BOTH directions (r15 ADVICE: improvements used to be labeled
+      // 'faster' unconditionally, so ambient noise in the improving
+      // direction read as a real win)
       val medR = if (ma > 0) mb / ma else 1.0
       val read =
-        if (d < 0) "faster"
+        if (d < 0 && medR < 0.87 && minR >= 0.9) "ambient (min flat)"
+        else if (d < 0) "faster"
         else if (medR > 1.15 && minR <= 1.1) "ambient (min flat)"
         else "slower"
       line(s"| $k | ${f(ma)} | ${f(mb)} | ${fp(pct(ma, mb))} | " +
@@ -161,14 +170,85 @@ object BenchDiff {
     sb.toString
   }
 
+  // ---- N-cut series mode (round-15 VERDICT #5) --------------------------
+  //
+  // Same-day cuts heat monotonically (r15: cb 10.26 -> 11.40 -> 13.51 s
+  // across three cuts), so pairwise comparisons against DIFFERENT cuts of
+  // the same round yield different verdicts. The series mode takes every
+  // cut of each round and adjudicates ONE verdict on the min-across-cuts
+  // basis: for each query, the minimum median (and minimum min) observed
+  // across that round's cuts — the coolest state each side was actually
+  // measured in — normalized by each side's coolest canary. Heat inflates
+  // medians upward only, so the per-cut minimum converges on the unheated
+  // value as cuts are added, making cut selection mechanical instead of
+  // an argument about which cut was fairest.
+
+  /** Element-wise min across the cuts' query maps, on the intersection of
+    * their coverage (a query absent from one cut would otherwise read as
+    * an artificial win for the side that timed it cold). */
+  private def minAcross(maps: Seq[Map[String, (Double, Double)]])
+      : Map[String, (Double, Double)] = {
+    val keys = maps.map(_.keySet).reduce(_ & _)
+    keys.iterator.map { k =>
+      k -> ((maps.map(_(k)._1).min, maps.map(_(k)._2).min))
+    }.toMap
+  }
+
+  private def coolest(cuts: Seq[Cut], label: String): Cut =
+    Cut(s"$label[min of ${cuts.size}: ${cuts.map(_.path).mkString(", ")}]",
+      minAcross(cuts.map(_.queries)), minAcross(cuts.map(_.cb)),
+      Some(cuts.flatMap(_.canary)).filter(_.nonEmpty).map(_.min),
+      Some(cuts.flatMap(_.cbCanary)).filter(_.nonEmpty).map(_.min),
+      cuts.exists(_.official))
+
+  def renderSeries(basePaths: Seq[String], candPaths: Seq[String]): String = {
+    val bases = basePaths.map(load)
+    val cands = candPaths.map(load)
+    val sb = new StringBuilder
+    sb.append(s"### BenchDiff series: ${bases.size} baseline cut(s) vs " +
+      s"${cands.size} candidate cut(s)\n\n")
+    sb.append("| side | cut | non-cb total | cb total | canary | cb canary |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    def row(side: String, c: Cut): Unit = {
+      val t = c.queries.values.map(_._1).sum
+      val ct = c.cb.values.map(_._1).sum
+      sb.append(s"| $side | ${c.path} | ${f(t)} s | ${f(ct)} s | " +
+        s"${c.canary.map(f).getOrElse("-")} | ${c.cbCanary.map(f).getOrElse("-")} |\n")
+    }
+    bases.foreach(row("base", _))
+    cands.foreach(row("cand", _))
+    sb.append("\n")
+    sb.append(renderCuts(coolest(bases, "baseline"), coolest(cands, "candidate")))
+    sb.append("\n(series verdict basis: per-query min across each side's " +
+      "cuts, normalized by each side's coolest canary — heat only inflates, " +
+      "so the minimum is the best estimate of the unheated value)\n")
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: BenchDiff <baseline.json> <candidate.json> [out.md]")
-    val md = render(args(0), args(1))
-    print(md)
-    // sbt's log prefix mangles blank lines; an explicit out path keeps the
-    // markdown paste-ready
-    args.lift(2).foreach(p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p), md.getBytes("UTF-8")))
+    if (args.headOption.contains("--series")) {
+      // usage: BenchDiff --series <base1> [base2 ...] --vs <cand1> [...] [out.md]
+      val rest = args.drop(1)
+      val vs = rest.indexOf("--vs")
+      require(vs > 0 && vs < rest.length - 1,
+        "usage: BenchDiff --series <base...> --vs <cand...> [out.md]")
+      val (basePaths, tail) = (rest.take(vs).toSeq, rest.drop(vs + 1).toSeq)
+      val (candPaths, out) =
+        if (tail.last.endsWith(".md")) (tail.dropRight(1), Some(tail.last))
+        else (tail, None)
+      val md = renderSeries(basePaths, candPaths)
+      print(md)
+      out.foreach(p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), md.getBytes("UTF-8")))
+    } else {
+      require(args.length >= 2,
+        "usage: BenchDiff <baseline.json> <candidate.json> [out.md] | --series ...")
+      val md = render(args(0), args(1))
+      print(md)
+      // sbt's log prefix mangles blank lines; an explicit out path keeps the
+      // markdown paste-ready
+      args.lift(2).foreach(p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), md.getBytes("UTF-8")))
+    }
   }
 }

@@ -143,18 +143,31 @@ object ScaleCheck {
       // small run timed after one big warm measured 11.5s vs 6.7s clean,
       // and 36s after several). For fully clean numbers run one op per JVM
       // via SPARK_GRAFT_SCALE_OPS; the artifact write merges across runs.
-      timeOnce(spark, name, srcDir)
-      val tSmall = timeOnce(spark, name, srcDir)
-      timeOnce(spark, name, outDir)
-      val tBig = timeOnce(spark, name, outDir)
-      // Flag only constructs that APPEAR at the big scale: an audited-benign
-      // 1-row-threshold BNLJ present at both scales (PLANS.md `bnlj` rows)
-      // is not a degradation; a plan that flips to cartesian/BNLJ at 10x is.
-      val flags = planFlags(SparkEntry.queries(name)(spark, outDir)) --
-        planFlags(SparkEntry.queries(name)(spark, srcDir))
-      val ratio = if (tSmall > 0) tBig / tSmall else -1.0
-      println(f"SCALECHECK $name sf0.1=$tSmall%.2fs synth10x=$tBig%.2fs ratio=$ratio%.2f flags=${flags.mkString("+")}")
-      (name, tSmall, tBig, ratio, flags)
+      //
+      // A truth-tier op refusing the big corpus by contract
+      // (graft.operators.TruthTier, r15 VERDICT #3) is recorded as an
+      // explicit contract row — the op's documented behavior at that
+      // scale IS the fast refusal, not a timing.
+      try {
+        timeOnce(spark, name, srcDir)
+        val tSmall = timeOnce(spark, name, srcDir)
+        timeOnce(spark, name, outDir)
+        val tBig = timeOnce(spark, name, outDir)
+        // Flag only constructs that APPEAR at the big scale: an
+        // audited-benign 1-row-threshold BNLJ present at both scales
+        // (PLANS.md `bnlj` rows) is not a degradation; a plan that flips to
+        // cartesian/BNLJ at 10x is.
+        val flags = planFlags(SparkEntry.queries(name)(spark, outDir)) --
+          planFlags(SparkEntry.queries(name)(spark, srcDir))
+        val ratio = if (tSmall > 0) tBig / tSmall else -1.0
+        println(f"SCALECHECK $name sf0.1=$tSmall%.2fs synth10x=$tBig%.2fs ratio=$ratio%.2f flags=${flags.mkString("+")}")
+        Left((name, tSmall, tBig, ratio, flags))
+      } catch {
+        case e: graft.operators.TruthTier.ExceededException =>
+          println(s"SCALECHECK $name refused by truth-tier contract at " +
+            s"${factor}x (bound ${e.bound}, corpus ${e.actual}) -> twin ${e.twin}")
+          Right((name, e))
+      }
     }
     val artifact = java.nio.file.Paths.get(artifactName)
     // Merge with any prior (e.g. per-op-JVM) runs: last write per op wins.
@@ -164,8 +177,11 @@ object ScaleCheck {
         """"((?:p|q|cb)\d+[a-z0-9_]*)":(\{[^}]*\})""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2)).toMap
       } else Map.empty
-    val merged = prior ++ rows.map { case (n, a, b, r, f) =>
-      n -> s"""{"sf01_sec":$a,"sf1_synth_sec":$b,"ratio":${math.rint(r * 100) / 100},"plan_flags":${f.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val merged = prior ++ rows.map {
+      case Left((n, a, b, r, f)) =>
+        n -> s"""{"sf01_sec":$a,"sf1_synth_sec":$b,"ratio":${math.rint(r * 100) / 100},"plan_flags":${f.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      case Right((n, e)) =>
+        n -> s"""{"contract":"truth_tier_refused","bound":${e.bound},"corpus":${e.actual},"twin":"${e.twin}","plan_flags":[]}"""
     }.toMap
     val json = allOps.filter(merged.contains).map(n => s""""$n":${merged(n)}""")
       .mkString(

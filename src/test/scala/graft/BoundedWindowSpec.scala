@@ -121,6 +121,9 @@ class BoundedWindowSpec extends AnyFunSuite {
       "the at-risk reverse cumulation and the product-limit running sum " +
         "run over the per-DAY risk table — bounded by the date span at ANY " +
         "corpus size (the p150 class; ~30 days here)"),
+    "p212_wilson_ranking" -> (1024L,
+      "the LCB ranking runs over the per-SOURCE sufficient-count frame — " +
+        "|sources| rows at ANY corpus size (the p143/p197 class)"),
     "q15_join_theta" -> (4096L,
       "banded decomposition: the window sits over a ≤K-rows-per-band frame (BandedThetaJoin)"),
     "q69_tpch_q15" -> (1024L,

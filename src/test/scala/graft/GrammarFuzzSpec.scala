@@ -510,17 +510,101 @@ class GrammarFuzzSpec extends AnyFunSuite {
         case 1 => s"SELECT count(*) * 0 + max(planet_id) AS v, min('$hz') AS h FROM $rels $conj planet_id >= -1 AND $$satellites.id = $id"
         case _ => s"SELECT planet_id AS v, '$hz' AS h FROM $rels $conj $$satellites.id = $id ORDER BY planet_id"
       }
+      // an unparenthesized arm-level ORDER BY cannot precede UNION
+      val hasUnion = aliasPos != 2 && r.nextInt(3) == 0
       val stmt =
-        // an unparenthesized arm-level ORDER BY cannot precede UNION
-        if (aliasPos != 2 && r.nextInt(3) == 0)
-          s"$core UNION ALL SELECT -1 AS v, 'arm2' AS h FROM $comp"
+        if (hasUnion) s"$core UNION ALL SELECT -1 AS v, 'arm2' AS h FROM $comp"
         else core
       val expect = if (negative) sentinel else want(id)
-      runOne(900 + i, stmt, { row =>
+      if (hasUnion) {
+        // The arm2 sentinel is -1, so a head()-only check would let a wrong
+        // alias binding pass whenever the arm2 row sorts first (r15 ADVICE):
+        // collect ALL rows and require the expected value among the rows the
+        // main arm produced (h != 'arm2').
+        val rows =
+          try g.query(stmt).collect()
+          catch {
+            case e: Throwable =>
+              fail(s"[case ${900 + i}] query failed: $stmt\n${e.getMessage.take(400)}")
+          }
+        val main = rows.filter(_.get(1).toString != "arm2")
+          .map(_.get(0).toString.toDouble.toLong).toSeq
+        assert(main.contains(expect),
+          s"[case ${900 + i}] bare planet_id bound wrong (non-arm2 rows " +
+            s"${main.mkString(",")} want $expect, negative=$negative) for: $stmt")
+      } else runOne(900 + i, stmt, { row =>
         val got = row.get(0).toString.toDouble.toLong
-        assert(got == expect || got == -1L,
+        assert(got == expect,
           s"bare planet_id bound wrong (got $got want $expect, negative=$negative)")
       })
     }
+  }
+
+  test("temporal FOR at relationRefs anchors: depth, join targets, and adversarial spellings") {
+    // r15 VERDICT #7: extractTemporal's anchors now come from the shared
+    // relationRefs scope scan (SqlScan contract-tested), but the
+    // FOR-grammar-AT-ANCHOR composition was example-covered only. This
+    // grammar composes the FOR spec against the anchor positions the
+    // scanner distinguishes — subquery depth, JOIN targets, alias forms —
+    // with adversarial literals spelling 'FROM x FOR TODAY' inside strings
+    // (masked: must never move the rewrite) and FOR-like alias words that
+    // must not be eaten as a clause.
+    import spark.implicits._
+    val r = new Random(1717L)
+    val days = (1 to 28).map { d =>
+      (d.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"))
+    }
+    g.registerDf("fz_anchor", days.toDF("id", "ts"))
+    g.registerTemporalColumn("fz_anchor", "ts")
+    g.registerDf("fz_side", (1 to 28).map(d => (d.toLong, s"s$d")).toDF("id", "tag"))
+    def hz = {
+      // every hazard carries a relation-and-FOR spelling inside a literal —
+      // the masked text the anchor scan must skip
+      val inner = Seq("FROM fz_anchor FOR TODAY", "JOIN fz_anchor FOR '2024-01-05'",
+        "fz_anchor FOR DATES SINCE '2024-01-01'", "FOR LAST 3 DAYS")(r.nextInt(4))
+      s"x $inner ${hazards(r.nextInt(hazards.length))}".replace("'", "''")
+    }
+    (1 to 50).foreach { i =>
+      val lo = 1 + r.nextInt(20)
+      val hi = lo + r.nextInt(28 - lo)
+      val spec = f"DATES BETWEEN '2024-01-$lo%02d' AND '2024-01-$hi%02d'"
+      val want = (hi - lo + 1).toLong
+      val alias = Seq("", " t", " AS t")(r.nextInt(3))
+      val (stmt, expect): (String, Long) = r.nextInt(4) match {
+        case 0 =>
+          // anchor inside a subquery (depth >= 1), hazard literal outside
+          (s"SELECT v, '$hz' AS h FROM (SELECT count(*) AS v FROM fz_anchor$alias FOR $spec) q",
+            want)
+        case 1 =>
+          // anchor is a JOIN target; the un-FOR'd side must stay untouched
+          (s"SELECT count(*) AS v, min('$hz') AS h FROM fz_side JOIN fz_anchor$alias FOR $spec ON fz_side.id = ${if (alias.isEmpty) "fz_anchor" else "t"}.id",
+            want)
+        case 2 =>
+          // FOR'd anchor first, plain JOIN target second, hazard in WHERE arm
+          (s"SELECT count(*) AS v FROM fz_anchor$alias FOR $spec JOIN fz_side ON fz_side.id = ${if (alias.isEmpty) "fz_anchor" else "t"}.id WHERE '$hz' <> ''",
+            want)
+        case _ =>
+          // two anchors, each with its OWN range, composed by a set op at
+          // depth; counts add
+          val lo2 = 1 + r.nextInt(20)
+          (f"SELECT sum(v) AS v FROM (SELECT count(*) AS v FROM fz_anchor FOR $spec%s " +
+            f"UNION ALL SELECT count(*) AS v FROM fz_anchor FOR '2024-01-$lo2%02d') u",
+            want + 1L)
+      }
+      runOne(1000 + i, stmt, { row =>
+        val got = row.get(0).toString.toDouble.toLong
+        assert(got == expect, s"anchor FOR: got $got want $expect")
+      })
+    }
+    // FOR-like alias word: `fz_anchor fort` must bind the alias, not start
+    // a clause — and a trailing real FOR after the alias still extracts
+    runOne(1060,
+      "SELECT count(*) AS v FROM fz_anchor fort FOR '2024-01-05' WHERE fort.id = 5",
+      row => assert(row.get(0).toString.toDouble.toLong == 1L))
+    // adversarial: the masked spelling alone (no real FOR anywhere) — the
+    // rewrite must leave the statement byte-compatible with plain Spark
+    runOne(1061,
+      s"SELECT count(*) AS v, 'FROM fz_anchor FOR TODAY' AS h FROM fz_anchor",
+      row => assert(row.get(0).toString.toDouble.toLong == 28L))
   }
 }
