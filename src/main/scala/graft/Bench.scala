@@ -324,8 +324,8 @@ object Bench {
     // carried `parsed: null` with the JSON sliced mid-line (r15 VERDICT #4).
     // This line stays well under the window (headline queries only — the
     // complete per-query map lives in the artifact file and the line above).
-    val headliners = Seq("q01_group_agg", "q40_q6", "q55_q3", "q83_q5",
-      "q76_median", "p01_dedup_exact", "p02_dedup_minhash")
+    val headliners = Seq("q01_group_agg", "q40_tpch_q6", "q55_tpch_q3",
+      "q83_tpch_q5", "q76_median", "p01_dedup_exact", "p02_dedup_minhash")
     val headJson = results.filter(r => headliners.contains(r.name))
       .map(r => "\"" + r.name + "\":" + r.median).mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headJson,"sf":"$sfDir","clickbench_total":$cbTotal,"n_queries":${results.size},"n_clickbench":${cbResults.size},"errors_n":${(results ++ cbResults).count(_.median < 0)},"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"cb_canary_median":$cbCanaryMedian,"load_flag":$loadFlag,"load_suspect":$loadSuspect,"canary_admitted":$canaryAdmitted,"official":$official,"trials":$trials,"artifact":"$artifact"}"""

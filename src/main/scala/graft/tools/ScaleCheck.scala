@@ -173,9 +173,11 @@ object ScaleCheck {
     // Merge with any prior (e.g. per-op-JVM) runs: last write per op wins.
     val prior: Map[String, String] =
       if (java.nio.file.Files.exists(artifact)) {
+        // whitespace-tolerant: hand-annotated artifacts are pretty-printed
+        // (a compact-only regex silently dropped the r15 rows on merge)
         val txt = new String(java.nio.file.Files.readAllBytes(artifact), "UTF-8")
-        """"((?:p|q|cb)\d+[a-z0-9_]*)":(\{[^}]*\})""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2)).toMap
+        """"((?:p|q|cb)\d+[a-z0-9_]*)"\s*:\s*(\{[^{}]*\})""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).replaceAll("\\s+", "")).toMap
       } else Map.empty
     val merged = prior ++ rows.map {
       case Left((n, a, b, r, f)) =>
@@ -183,10 +185,17 @@ object ScaleCheck {
       case Right((n, e)) =>
         n -> s"""{"contract":"truth_tier_refused","bound":${e.bound},"corpus":${e.actual},"twin":"${e.twin}","plan_flags":[]}"""
     }.toMap
+    // carry forward a hand-annotated notes field if the artifact has one
+    val notes: String =
+      if (java.nio.file.Files.exists(artifact)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(artifact), "UTF-8")
+        """"notes"\s*:\s*("(?:[^"\\]|\\.)*")""".r.findFirstMatchIn(txt)
+          .map(m => s""","notes":${m.group(1)}""").getOrElse("")
+      } else ""
     val json = allOps.filter(merged.contains).map(n => s""""$n":${merged(n)}""")
       .mkString(
         s"""{"metric":"sf${factor / 10}_synth","factor":$factor,"src":"$srcDir","queries":{""",
-        ",", "}}")
+        ",", s"}$notes}")
     java.nio.file.Files.write(artifact, json.getBytes("UTF-8"))
     println(json)
   }

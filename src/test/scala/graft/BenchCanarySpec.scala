@@ -139,10 +139,14 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(BenchCanary.loadSuspect(0.389, band = 0.343))
     assert(!BenchCanary.loadSuspect(0.343, band = 0.343))
     assert(!BenchCanary.loadSuspect(0.370, band = 0.343))
-    // the round-14 band: the re-baselining cut itself is clean, a +13%
-    // drift above it flags
-    assert(!BenchCanary.loadSuspect(0.391))
-    assert(BenchCanary.loadSuspect(0.45))
+    // the round-14 band, pinned explicitly (re-baselined to 0.470 in
+    // round 16 for the new container+suite — same rule, new level)
+    assert(!BenchCanary.loadSuspect(0.391, band = 0.391))
+    assert(BenchCanary.loadSuspect(0.45, band = 0.391))
+    // the round-16 band: the re-baselining cut (0.459) is clean, a +13%
+    // drift above the band flags
+    assert(!BenchCanary.loadSuspect(0.459))
+    assert(BenchCanary.loadSuspect(0.53))
     assert(!BenchCanary.loadSuspect(0.5, band = 0.0)) // no band -> no verdict
   }
 
