@@ -91,13 +91,21 @@ object PipelineQueries4 {
       val sup = e.crossJoin(broadcast(dims)).filter(col("vec_id") < col("k"))
         .select(col("vec_id").as("sup_id"), col("embedding").as("cvec"))
       val cosSup = Functions.cosineSimilarity(col("embedding"), col("cvec"))
-      val w1 = Window.partitionBy(col("vec_id")).orderBy(cosSup.desc, col("sup_id"))
       // Narrow O(N) assignment table with two consumers: the sub-centroid
       // derivation (executed inside the tiny broadcast build — re-running
       // the N×k1 pass there is the subdominant cost documented above, and
       // keeps the whole plan Catalyst-visible for the plan audit) and the
       // final cell assignment.
+      //
+      // The cosine is PROJECTED BEFORE the ranking window so the N×k1 sort
+      // input is three scalar columns, not rows still carrying two 64-dim
+      // vectors (~1 KB each): the vector-laden window sort was the task
+      // that ran a 100x corpus out of executor heap under the local
+      // harness's 8 GB (r16 ScaleCheck) — same rows ranked, same order
+      // (cos desc, id), 25x less sort weight.
+      val w1 = Window.partitionBy(col("vec_id")).orderBy(col("c1").desc, col("sup_id"))
       val a1 = e.crossJoin(broadcast(sup))
+        .select(col("vec_id"), col("sup_id"), cosSup.as("c1"))
         .select(col("vec_id"), col("sup_id"), row_number().over(w1).as("rn1"))
         .filter(col("rn1") <= 2)
       // Sub centroids: the k2 lowest-vec_id members of each super cell.
@@ -109,10 +117,12 @@ object PipelineQueries4 {
         .select(col("sup_id"), col("vec_id").as("sub_id"), col("bv"))
       val ev = e.select(col("vec_id"), col("embedding").as("v"))
       val cosSub = Functions.cosineSimilarity(col("v"), col("bv"))
+      // same narrowing as w1: cosine projected, vectors dropped, THEN rank
       val w2 = Window.partitionBy(col("vec_id"), col("sup_id"))
-        .orderBy(cosSub.desc, col("sub_id"))
+        .orderBy(col("c2").desc, col("sub_id"))
       val a2 = a1.select(col("vec_id"), col("sup_id")).join(ev, "vec_id")
         .join(broadcast(sub), "sup_id")
+        .select(col("vec_id"), col("sup_id"), col("sub_id"), cosSub.as("c2"))
         .select(col("vec_id"), col("sup_id"), col("sub_id"),
           row_number().over(w2).as("rn2"))
         .filter(col("rn2") <= 2)

@@ -38,6 +38,16 @@ object PipelineQueries9 {
   /** p54: query subset stride (vec_id % Stride == 0). */
   private val Stride = 50
 
+  /** p54: absolute anchor-set cap (vec_id < QueryCap), the p205/p210 probe
+    * convention. Without it the anchor set is N/Stride — the corpus×anchors
+    * work is N²/50, measured super-linear at the 100x tier (ratio 196,
+    * r16 ScaleCheck). The cap binds only past the 10x tier (max 10x vec_id
+    * 19,950 < 25,600), so every gate and 10x result is byte-identical; at
+    * any larger corpus the anchor set is a fixed 512 and the scan is
+    * linear. Production hard-negative mining over the FULL anchor set is
+    * an ANN problem (p15/p99's IVF), not a brute-force one. */
+  private val QueryCap = 512L * Stride
+
   val defs: Seq[QueryDef] = Seq(
 
     // ------------------------------- blocked entity resolution (p52)
@@ -200,7 +210,8 @@ object PipelineQueries9 {
     QueryDef("p54_hard_negatives", Some(s"""
       WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      qs AS (SELECT vec_id, label, v FROM e WHERE vec_id % $Stride = 0),
+      qs AS (SELECT vec_id, label, v FROM e
+             WHERE vec_id % $Stride = 0 AND vec_id < $QueryCap),
       c AS (
         SELECT qs.vec_id AS qid, qs.label AS qlabel,
                e.vec_id AS vid, (e.label = qs.label) AS same,
@@ -218,7 +229,7 @@ object PipelineQueries9 {
       GROUP BY p.qid ORDER BY query_id""")) { (s, dir) =>
       val e = Tables.dfSpread(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val qs = e.filter(col("vec_id") % Stride === 0)
+      val qs = e.filter(col("vec_id") % Stride === 0 && col("vec_id") < QueryCap)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
       val cos = round(Functions.cosineSimilarity(col("v"), col("qv")), 9)
       val scored = e.crossJoin(broadcast(qs))
