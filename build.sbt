@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parse contract (four rounds of BENCH_r*.json `parsed: null`): the
+// driver keeps the last ~2000 chars of `sbt "runMain graft.Bench"` stdout and
+// parses the LAST line as JSON. Two sbt behaviors defeated that: the forked
+// JVM's stdout is re-logged with an `[info] ` prefix unless the output
+// strategy is raw stdout, and sbt appends a `[success] Total time: ...`
+// banner AFTER the program's final line. Pass the forked output through
+// verbatim and suppress the banner so Bench's compact summary line is the
+// true last line of stdout.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -280,13 +280,18 @@ object Bench {
       .collect { case r if r.spreadFlagged => "\"" + r.name + "\"" }.mkString("[", ",", "]")
     val dispersionFlagged = (results ++ cbResults)
       .collect { case r if r.dispersionFlagged => "\"" + r.name + "\"" }.mkString("[", ",", "]")
-    val loadSuspect = BenchCanary.loadSuspect(canaryMedian)
+    val loadSuspect = BenchCanary.loadSuspectRel(canaryMedian, canaryBaseline)
     val minFields =
       if (loadSuspect)
         s""","queries_min":${minJson(results)},"clickbench_min":${minJson(cbResults)}"""
       else ""
+    // The admission gate is a pure function of THIS artifact's own fields
+    // (canary_median <= relFactor * canary_baseline, baseline under the
+    // quiet ceiling — see BenchCanary), emitted so the decision is
+    // reproducible from the artifact alone (r16 VERDICT #3).
+    val canaryGate = BenchCanary.admissionGate(canaryBaseline).getOrElse(-1.0)
     val adjudication =
-      s""""load_suspect":$loadSuspect,"canary_quiet_band":${BenchCanary.quietBandMedian},"cb_canary_median":$cbCanaryMedian,"dispersion_flagged":$dispersionFlagged"""
+      s""""load_suspect":$loadSuspect,"canary_gate":$canaryGate,"canary_gate_rule":"median<=${BenchCanary.relFactor}*baseline && baseline<=${BenchCanary.baselineQuietCeiling}","cb_canary_median":$cbCanaryMedian,"dispersion_flagged":$dispersionFlagged"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${medJson(results)},"clickbench":${medJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,$adjudication,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag$minFields}"""
 
     // Full artifact on disk: the driver's tail-capture truncates the stdout
@@ -301,18 +306,56 @@ object Bench {
     // driver's post-commit bench replaced the official artifact twice).
     val canaryJson = canarySamples.mkString("[", ",", "]")
     val tailJson = canaryTail.mkString("[", ",", "]")
-    // Round-16 admission rule (r15 VERDICT #1/#2): an OFFICIAL cut requires
-    // the session canary median AT OR BELOW the committed quiet band — not
-    // merely within the 10% load_suspect tolerance. The r15 committed cut
-    // was the hottest of three same-day cuts (canary 0.402 vs band 0.391,
-    // inside the old rule) and its q01 median read 2.01x the baseline
-    // anchor while the cooler cuts read 1.7-1.8x; the band-or-cooler rule
-    // makes cut selection mechanical instead of judgment.
-    val canaryAdmitted = canaryMedian <= BenchCanary.quietBandMedian
-    val official = sys.env.get("SPARK_GRAFT_OFFICIAL").contains("1") &&
+    // Round-17 admission rule (r16 VERDICT #3): an OFFICIAL cut requires
+    // the session canary median at or below the SELF-CALIBRATING gate —
+    // relFactor times this session's own pristine baseline, with the
+    // baseline itself under the quiet ceiling (BenchCanary.canaryAdmitted).
+    // The round-16 absolute band did the same job but was a hand-updated
+    // constant the gated sessions themselves justified; the relative gate
+    // moves with the container automatically and its constants derive
+    // mechanically from the documented r14-r16 quiet-cut set.
+    val canaryAdmitted = BenchCanary.canaryAdmitted(canaryMedian, canaryBaseline)
+    val admitted = sys.env.get("SPARK_GRAFT_OFFICIAL").contains("1") &&
       only.isEmpty && !loadSuspect && !loadFlag && canaryAdmitted
+    // Committed-record rule (r16 VERDICT #2: lowest-canary selected a
+    // partial-coverage cut over two full-coverage admitted ones). An
+    // admitted cut only OVERWRITES bench_full.json when it supersedes the
+    // existing record: strictly more gate coverage, or equal coverage and
+    // a cooler canary (BenchCanary.recordSupersedes). Admitted-but-
+    // superseded cuts land in bench_last_run.json for alongside-commit.
+    // SPARK_GRAFT_RECORD_FORCE=1 overrides for the rare legitimate reset
+    // (e.g. a gate query was intentionally REMOVED, so full coverage
+    // shrank) — using it is a protocol event to document in BENCH_NOTES.
+    val coverage = results.size + cbResults.size
+    def existingRecord(): Option[(Int, Double)] =
+      try {
+        val f = new java.io.File("bench_full.json")
+        if (!f.exists) None
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val cov = root.path("queries").size() + root.path("clickbench").size()
+          val can = root.path("canary_median").asDouble(-1.0)
+          if (cov <= 0 || can <= 0) None else Some((cov, can))
+        }
+      } catch { case _: Throwable => None }
+    val recordDecision: String =
+      if (!admitted)
+        if (!sys.env.get("SPARK_GRAFT_OFFICIAL").contains("1")) "unofficial_run"
+        else if (only.nonEmpty) "not_admitted(narrowed)"
+        else if (loadFlag || loadSuspect) "not_admitted(load)"
+        else if (!canaryAdmitted) "not_admitted(canary_gate)"
+        else "not_admitted"
+      else if (sys.env.get("SPARK_GRAFT_RECORD_FORCE").contains("1")) "forced"
+      else existingRecord() match {
+        case Some((exCov, exCan))
+            if !BenchCanary.recordSupersedes(coverage, canaryMedian, exCov, exCan) =>
+          s"admitted_but_record_kept(existing coverage=$exCov canary=$exCan)"
+        case _ => "committed"
+      }
+    val official = admitted &&
+      (recordDecision == "committed" || recordDecision == "forced")
     val artifact = if (official) "bench_full.json" else "bench_last_run.json"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","official":$official,"queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,$adjudication,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_samples":$canaryJson,"canary_tail":$tailJson,"load_flag":$loadFlag,"queries_min":${minJson(results)},"clickbench_min":${minJson(cbResults)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","official":$official,"admitted":$admitted,"coverage":$coverage,"record_decision":"$recordDecision","queries":${fullJson(results)},"clickbench":${fullJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,$adjudication,"sf":"$sfDir","trials":$trials,"interleaved":true,"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_samples":$canaryJson,"canary_tail":$tailJson,"load_flag":$loadFlag,"queries_min":${minJson(results)},"clickbench_min":${minJson(cbResults)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -328,7 +371,7 @@ object Bench {
       "q83_tpch_q5", "q76_median", "p01_dedup_exact", "p02_dedup_minhash")
     val headJson = results.filter(r => headliners.contains(r.name))
       .map(r => "\"" + r.name + "\":" + r.median).mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headJson,"sf":"$sfDir","clickbench_total":$cbTotal,"n_queries":${results.size},"n_clickbench":${cbResults.size},"errors_n":${(results ++ cbResults).count(_.median < 0)},"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"cb_canary_median":$cbCanaryMedian,"load_flag":$loadFlag,"load_suspect":$loadSuspect,"canary_admitted":$canaryAdmitted,"official":$official,"trials":$trials,"artifact":"$artifact"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$headJson,"sf":"$sfDir","clickbench_total":$cbTotal,"n_queries":${results.size},"n_clickbench":${cbResults.size},"errors_n":${(results ++ cbResults).count(_.median < 0)},"canary_baseline":$canaryBaseline,"canary_median":$canaryMedian,"canary_gate":$canaryGate,"cb_canary_median":$cbCanaryMedian,"load_flag":$loadFlag,"load_suspect":$loadSuspect,"canary_admitted":$canaryAdmitted,"official":$official,"record_decision":"$recordDecision","trials":$trials,"artifact":"$artifact"}"""
     println(summary)
     spark.stop()
   }

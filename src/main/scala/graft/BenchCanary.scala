@@ -88,46 +88,89 @@ object BenchCanary {
     trials.size >= 2 && sessionMedian(trials) >= minSeconds &&
       trials.min > 0 && trials.max / trials.min > spreadFactor
 
-  /** Committed quiet-band for the SESSION canary median (mid-run samples
-    * included): the round-11 clean official cut measured 0.343 s on a quiet
-    * machine, and the mid-run residue that lifts these samples is the
-    * bench's OWN workload, so at stable suite composition the value is
-    * reproducible run-to-run. The round-12 official cut read 0.389 s
-    * (+13%) and the judge adjudicated every apparent regression in it as
-    * ambient drift — this constant turns that forensic step into a field:
-    * [[Bench]] stamps `load_suspect` when the session canary median drifts
-    * more than `loadSuspectFactor` above the band, and then emits per-query
-    * minima alongside medians so the artifact adjudicates itself.
-    * Re-baseline (update the constant, note it in BENCH_NOTES.md) only
-    * from a clean cut after a material suite-composition change — the
-    * residue level tracks the workload mix.
+  /** SELF-CALIBRATING admission rule (round 17; replaces the hand-updated
+    * absolute quiet band as the binding criterion — r16 VERDICT #3 and the
+    * r16 medium ADVICE both landed on the same circularity: a constant the
+    * gated sessions themselves justify, re-raised 0.391→0.470 in the round
+    * the band became the admission gate, with undocumented headroom).
     *
-    * Round-14 re-baseline: 0.343 → 0.391. The suite grew 285→328 gate
-    * queries AND sub-second queries now take ≥5 trials (cb-drift fix), so
-    * the per-20-measurements canary samples sit deeper in bench residue.
-    * The re-baselining cut was verifiably quiet by the residue-free
-    * indicators: pristine pre-run baseline 0.120 s (vs 0.173 on the r13
-    * driver run) and post-GC tail 0.123/0.078 s back at baseline — the
-    * session-median lift is self-induced, not ambient.
+    * The gate is now a pure function of two fields THE SAME ARTIFACT
+    * carries, so an admission decision is reproducible from the artifact
+    * alone and container speed changes move the gate automatically:
     *
-    * Round-16 re-baseline: 0.391 → 0.470. The suite grew 354→360 and the
-    * round-16 container runs the canary's mid-run samples hotter at equal
-    * engine speed: the re-baselining full cut was verifiably quiet (zero
-    * machine load at launch, post-GC tail 0.156/0.101 s — back under the
-    * pristine 0.286 baseline, zero spread flags, zero errors) yet its
-    * session median read 0.459; the same session's q01_group_agg floor and
-    * a clean single-query ScaleCheck timing (0.295 s vs the 0.25 s
-    * reference anchor) pin the engine itself at r15 speed. Per the rule
-    * above, the band follows the instrument's residue level, never the
-    * other way around; BENCH_NOTES round 16 records the full derivation. */
-  val quietBandMedian: Double = 0.470
+    *   admitted :=  canary_baseline <= baselineQuietCeiling
+    *            &&  canary_median   <= relFactor * canary_baseline
+    *
+    * Constants, derived ONCE from the documented r14–r16 quiet-cut set
+    * (BENCH_NOTES; each cut verifiably quiet by the residue-free
+    * indicators — idle machine, post-GC tail back under its pristine
+    * baseline, zero spread flags):
+    *
+    *  - `relFactor` = 3.05: the MAX observed session-median/pristine-
+    *    baseline ratio across the set, no headroom (the r16 ADVICE
+    *    complaint) — r14 re-baselining cut 0.36/0.120 = 3.00, r16 cut C
+    *    0.459/0.286 = 1.60, cut D 0.434/0.180 = 2.41, cut F 0.460/0.151 =
+    *    3.04 (the max, rounded up at the 3rd decimal), cut G 0.454/0.199 =
+    *    2.28, r16 driver run 0.406/0.182 = 2.23. The mid-run median lift
+    *    over the pristine baseline is the bench's own residue, so the
+    *    ratio is container-relative where the old absolute band was not.
+    *  - `baselineQuietCeiling` = 0.30: the max pristine baseline ever
+    *    measured on a verifiably quiet session (r16 cut C, 0.286, rounded
+    *    up at the 2nd decimal). A session whose OWN 3-sample pristine
+    *    baseline exceeds every quiet baseline on record did not start
+    *    quiet — its relative gate would be meaningless (r16 cut A's
+    *    JIT-cold 0.554 baseline would otherwise authorize a 1.69 s
+    *    median). Refusal costs one re-cut on a warmed, idle machine.
+    *
+    * A quiet session can still land just past relFactor (cut F passed by
+    * 0.4%); the remedy is mechanical — re-cut — and errs toward refusing,
+    * never toward admitting a hot cut. Both constants move only if a
+    * verifiably quiet cut is REFUSED by them; the derivation rule ("max
+    * over the documented quiet set, zero headroom") is the committed
+    * policy, so an update is an append to the set, not a judgment call. */
+  val relFactor: Double = 3.05
+  val baselineQuietCeiling: Double = 0.30
+
+  /** The session's admission gate on the canary median, or None when the
+    * session's own pristine baseline disqualifies it (not quiet at start). */
+  def admissionGate(pristineBaseline: Double): Option[Double] =
+    if (pristineBaseline <= 0 || pristineBaseline > baselineQuietCeiling) None
+    else Some(relFactor * pristineBaseline)
+
+  def canaryAdmitted(canaryMedian: Double, pristineBaseline: Double): Boolean =
+    admissionGate(pristineBaseline).exists(canaryMedian <= _)
+
   val loadSuspectFactor: Double = 1.10
 
+  /** Report-only ambient-drift stamp (emits per-query minima in the
+    * summary line): the session canary median drifted `loadSuspectFactor`
+    * past the relative gate. The baseline is capped at the quiet ceiling
+    * so an inflated (not-quiet) baseline cannot loosen the suspicion
+    * threshold the way it invalidates admission. Historical absolute-band
+    * spec shapes pass the band explicitly via `band`. */
   def loadSuspect(
       canaryMedian: Double,
-      band: Double = quietBandMedian,
+      band: Double,
       factor: Double = loadSuspectFactor): Boolean =
     band > 0 && canaryMedian > band * factor
+
+  def loadSuspectRel(canaryMedian: Double, pristineBaseline: Double): Boolean =
+    loadSuspect(canaryMedian,
+      relFactor * math.min(math.max(pristineBaseline, 0.0), baselineQuietCeiling))
+
+  /** Committed-record preference (r16 VERDICT #2: the mechanical
+    * lowest-canary rule selected a partial-coverage cut D over two
+    * full-coverage admitted cuts). Among ADMITTED cuts, full gate coverage
+    * is required first; the lowest session canary only breaks ties at
+    * equal coverage. [[Bench]] applies this against the existing
+    * bench_full.json before overwriting it, so a hotter-but-fuller cut
+    * supersedes a cooler partial one and a cooler equal-coverage cut
+    * supersedes a hotter one — never the reverse. */
+  def recordSupersedes(
+      newCoverage: Int, newCanary: Double,
+      oldCoverage: Int, oldCanary: Double): Boolean =
+    newCoverage > oldCoverage ||
+      (newCoverage == oldCoverage && newCanary < oldCanary)
 
   /** Raw in-trial dispersion, reported per query so a bimodal spread is
     * visible WITHOUT auditing the trial arrays (round-12 VERDICT: p19's

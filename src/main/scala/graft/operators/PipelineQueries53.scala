@@ -53,7 +53,7 @@ import graft.{QueryDef, Tables}
   *
   *  - p216 NDCG@5: ranked-retrieval quality of a BM25-style scorer
   *    (tf saturation × length normalization, k1=1.2, b=0.75) against
-  *    graded relevance (tf capped at 4) for the corpus's six most
+  *    graded relevance (tf capped at 5) for the corpus's six most
   *    frequent ≥4-char tokens as probe queries. Discount weights are
   *    LITERAL log2 constants (rank ≤ 5), gains are integers, and the
   *    DCG sums run in DECIMAL — the ndcg division is the only float op.

@@ -189,6 +189,9 @@ object BenchDiff {
   private def minAcross(maps: Seq[Map[String, (Double, Double)]])
       : Map[String, (Double, Double)] = {
     val keys = maps.map(_.keySet).reduce(_ & _)
+    require(keys.nonEmpty || maps.forall(_.isEmpty),
+      "min-across intersection is empty while at least one cut has queries " +
+        "in this section — the series verdict would be vacuous (r16 ADVICE)")
     keys.iterator.map { k =>
       k -> ((maps.map(_(k)._1).min, maps.map(_(k)._2).min))
     }.toMap
@@ -201,12 +204,43 @@ object BenchDiff {
       Some(cuts.flatMap(_.cbCanary)).filter(_.nonEmpty).map(_.min),
       cuts.exists(_.official))
 
+  /** Series-input guard (r16 ADVICE): a cb-only (or otherwise
+    * section-empty) cut included in --series would silently empty the
+    * intersection minAcross takes and yield a vacuous FLAT verdict with
+    * zero totals. Mixed empty/non-empty sections fail loudly naming the
+    * offending cut; partial-coverage intersections are reported as a
+    * dropped-query note in the rendered output. */
+  private def seriesCoverageNote(side: String, cuts: Seq[Cut]): String = {
+    def check(section: String, maps: Seq[(String, Map[String, (Double, Double)])]): String = {
+      val (empty, nonEmpty) = maps.partition(_._2.isEmpty)
+      require(empty.isEmpty || nonEmpty.isEmpty,
+        s"$side $section section: cut(s) ${empty.map(_._1).mkString(", ")} carry " +
+          s"no $section queries while ${nonEmpty.map(_._1).mkString(", ")} do — a " +
+          s"partial cut in a series empties the min-across intersection and the " +
+          s"verdict would be vacuous; drop it or diff it pairwise")
+      if (nonEmpty.isEmpty) ""
+      else {
+        val union = nonEmpty.map(_._2.keySet).reduce(_ | _)
+        val inter = nonEmpty.map(_._2.keySet).reduce(_ & _)
+        val dropped = union.size - inter.size
+        if (dropped == 0) ""
+        else s"- $side $section: $dropped of ${union.size} queries dropped by " +
+          s"the coverage intersection (e.g. ${(union -- inter).toSeq.sorted.take(5).mkString(", ")})\n"
+      }
+    }
+    check("non-cb", cuts.map(c => c.path -> c.queries)) +
+      check("cb", cuts.map(c => c.path -> c.cb))
+  }
+
   def renderSeries(basePaths: Seq[String], candPaths: Seq[String]): String = {
     val bases = basePaths.map(load)
     val cands = candPaths.map(load)
     val sb = new StringBuilder
     sb.append(s"### BenchDiff series: ${bases.size} baseline cut(s) vs " +
       s"${cands.size} candidate cut(s)\n\n")
+    val coverageNotes = seriesCoverageNote("baseline", bases) +
+      seriesCoverageNote("candidate", cands)
+    if (coverageNotes.nonEmpty) { sb.append(coverageNotes); sb.append('\n') }
     sb.append("| side | cut | non-cb total | cb total | canary | cb canary |\n")
     sb.append("|---|---|---|---|---|---|\n")
     def row(side: String, c: Cut): Unit = {

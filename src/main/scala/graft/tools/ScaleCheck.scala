@@ -124,6 +124,26 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** Drops whitespace OUTSIDE JSON string literals only — the plain
+    * replaceAll("\\s+", "") compaction corrupted spaces inside quoted
+    * values of hand-annotated rows (e.g. a note like "measured on idle
+    * box") when a pretty-printed artifact was merged (r16 ADVICE). */
+  private[tools] def compactOutsideStrings(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var inString = false
+    var escaped = false
+    for (c <- s) {
+      if (inString) {
+        sb.append(c)
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+      } else if (c == '"') { inString = true; sb.append(c) }
+      else if (!c.isWhitespace) sb.append(c)
+    }
+    sb.toString
+  }
+
   private def planFlags(df: DataFrame): Set[String] = {
     val plan = df.queryExecution.executedPlan.toString
     Set("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
@@ -177,7 +197,7 @@ object ScaleCheck {
         // (a compact-only regex silently dropped the r15 rows on merge)
         val txt = new String(java.nio.file.Files.readAllBytes(artifact), "UTF-8")
         """"((?:p|q|cb)\d+[a-z0-9_]*)"\s*:\s*(\{[^{}]*\})""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).replaceAll("\\s+", "")).toMap
+          .map(m => m.group(1) -> compactOutsideStrings(m.group(2))).toMap
       } else Map.empty
     val merged = prior ++ rows.map {
       case Left((n, a, b, r, f)) =>

@@ -143,11 +143,58 @@ class BenchCanarySpec extends AnyFunSuite {
     // round 16 for the new container+suite — same rule, new level)
     assert(!BenchCanary.loadSuspect(0.391, band = 0.391))
     assert(BenchCanary.loadSuspect(0.45, band = 0.391))
-    // the round-16 band: the re-baselining cut (0.459) is clean, a +13%
-    // drift above the band flags
-    assert(!BenchCanary.loadSuspect(0.459))
-    assert(BenchCanary.loadSuspect(0.53))
     assert(!BenchCanary.loadSuspect(0.5, band = 0.0)) // no band -> no verdict
+    // round 17: the suspect stamp is relative to the session's own
+    // baseline (capped at the quiet ceiling) — r16 cut D's shape is clean,
+    // the same median over a much faster pristine baseline is suspect
+    assert(!BenchCanary.loadSuspectRel(0.434, pristineBaseline = 0.180))
+    assert(BenchCanary.loadSuspectRel(0.434, pristineBaseline = 0.120))
+    // an inflated (not-quiet) baseline cannot loosen the threshold past
+    // the ceiling: 1.10 * 3.05 * 0.30 = 1.007
+    assert(BenchCanary.loadSuspectRel(1.2, pristineBaseline = 0.554))
+  }
+
+  test("self-calibrating admission: every documented r14-r16 quiet cut is admitted") {
+    // (baseline, median) pairs from the committed artifacts / BENCH_NOTES
+    val quiet = Seq(
+      ("r14 re-baselining cut", 0.120, 0.360),
+      ("r16 cut C", 0.286, 0.459),
+      ("r16 cut D (committed)", 0.180, 0.434),
+      ("r16 cut F", 0.151, 0.460),
+      ("r16 cut G", 0.199, 0.454),
+      ("r16 driver run", 0.182, 0.406))
+    quiet.foreach { case (name, base, med) =>
+      assert(BenchCanary.canaryAdmitted(med, base), s"$name must be admitted")
+    }
+  }
+
+  test("self-calibrating admission: hot or unquiet sessions are refused") {
+    // r16 cut A: JIT-cold/contaminated 0.554 baseline — the relative gate
+    // would read 1.69 s; the baseline ceiling refuses the session outright
+    assert(BenchCanary.admissionGate(0.554).isEmpty)
+    assert(!BenchCanary.canaryAdmitted(0.404, 0.554))
+    // a session hot in the measured window: median far past 3.05x baseline
+    assert(!BenchCanary.canaryAdmitted(0.60, 0.180))
+    // degenerate baseline never admits
+    assert(!BenchCanary.canaryAdmitted(0.30, 0.0))
+    assert(BenchCanary.admissionGate(-1.0).isEmpty)
+    // the gate value itself is the documented product
+    assert(math.abs(BenchCanary.admissionGate(0.200).get - 0.610) < 1e-9)
+  }
+
+  test("recordSupersedes: full coverage first, lowest canary as tiebreak") {
+    // the r16 failure shape: cut D (360 queries, canary 0.434) held the
+    // record over full-coverage F (366, 0.460) and G (366, 0.454) — under
+    // the rule, F supersedes D despite being hotter...
+    assert(BenchCanary.recordSupersedes(366, 0.460, 360, 0.434))
+    // ...then G supersedes F at equal coverage by being cooler...
+    assert(BenchCanary.recordSupersedes(366, 0.454, 366, 0.460))
+    // ...and D could never displace either
+    assert(!BenchCanary.recordSupersedes(360, 0.434, 366, 0.454))
+    // equal coverage, hotter: kept out
+    assert(!BenchCanary.recordSupersedes(366, 0.470, 366, 0.454))
+    // exact tie does not churn the record
+    assert(!BenchCanary.recordSupersedes(366, 0.454, 366, 0.454))
   }
 
   test("cleanTrials: r11 load-episode shapes yield a clean median basis") {

@@ -47,4 +47,24 @@ class TruthTierSpec extends AnyFunSuite {
     assert(TruthTier.embeddingsBound >= 20000L,
       "embeddings bound must admit the 10x synth tier (20k vectors)")
   }
+
+  test("every oracle-gate corpus sits under the truth-tier bounds") {
+    // The capped Scala plans diverge from the unbounded oracle SQL only
+    // PAST the bound — safe only because the oracle never runs there
+    // (r16 ADVICE). Pin that invariant: both scales the DuckDB oracle
+    // actually executes at (the driver's sf0.01 gate and the sf0.1 bench
+    // tier) must stay under every bound, so a future testdata regeneration
+    // cannot silently open the divergence window.
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+      val vecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+      assert(docs <= TruthTier.documentsBound,
+        s"$sf documents ($docs) exceeds the truth-tier bound " +
+          s"${TruthTier.documentsBound} — the oracle would run where the " +
+          "guarded Scala plan refuses")
+      assert(vecs <= TruthTier.embeddingsBound,
+        s"$sf embeddings ($vecs) exceeds the truth-tier bound " +
+          s"${TruthTier.embeddingsBound}")
+    }
+  }
 }
