@@ -106,6 +106,13 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p155_mann_whitney" -> (16384L,
       "the below-count cumulation runs over the 2dp distinct-VALUE frame " +
         "(<= 10^4+1 rows at ANY corpus size — the p141 midrank class)"),
+    "p223_kruskal_wallis" -> (16384L,
+      "the midrank cumulation runs over the distinct doc-length frame — " +
+        "value-domain-bounded at ANY corpus size (the p141/p155 midrank class)"),
+    "p225_cliffs_delta" -> (16384L,
+      "the pair-count cumulations run over the distinct doc-length frame — " +
+        "value-domain-bounded at ANY corpus size (the p141/p155 class); the " +
+        "row-level n_en x n_ot pair space is never materialized"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
