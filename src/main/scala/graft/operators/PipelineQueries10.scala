@@ -106,7 +106,19 @@ object PipelineQueries10 {
              round(CAST(cum_tp AS DOUBLE) / cum_cand, 6) AS precision,
              round(CAST(cum_tp AS DOUBLE) / n_truth, 6) AS recall
       FROM cum CROSS JOIN nt ORDER BY ham""")) { (s, dir) =>
-      val sim = Tables.dfSpread(s, dir, "documents")
+      // AUDIT op, bounded by contract (r17): its exact-Jaccard truth side
+      // is the unblocked shared-shingle self-join (strictly more work than
+      // p17's rare-capped blocking, which measured DNF at 100x in r15) and
+      // its candidate side's 4x8-bit SimHash bands are gate-scale
+      // parameters (~2k docs per band bucket at 500k docs -> ~4e9 pairs;
+      // the r17 100x run killed the session). Recall audits at production
+      // scale run on a bounded subsample by design.
+      val guarded = TruthTier.guard(Tables.dfSpread(s, dir, "documents"),
+        "p55_dedup_audit", "p191_jaccard_prefix_filter + p151_dedup_pair_eval",
+        TruthTier.documentsBound,
+        "the prefix-filtered exact pair set at threshold, evaluated with " +
+          "the pair-eval op on a bounded audit sample")
+      val sim = guarded
         .select(col("doc_id"), Functions.simhash32(toks(col("text"))).as("h"))
       val bl = sim.select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(Subs - 1))).as("b"))
@@ -128,14 +140,19 @@ object PipelineQueries10 {
       val sb = sh.select(col("doc_id").as("db"), col("g"))
       val pr = sa.join(sb, Seq("g")).filter(col("da") < col("db"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      // dcnt (per-doc) and truth (true-PAIR set) are corpus-sized — no
+      // broadcast hints: at gate scale AQE still picks broadcast on its own
+      // stats, at 100x these shuffle-join (the r17 100x tier measured the
+      // hinted build OOM the driver at 500k docs; a pair table's size is
+      // corpus-dependent and must never be pinned driver-side)
       val truth = pr
-        .join(broadcast(dcnt.select(col("doc_id").as("da"), col("c").as("ca"))), Seq("da"))
-        .join(broadcast(dcnt.select(col("doc_id").as("db"), col("c").as("cb"))), Seq("db"))
+        .join(dcnt.select(col("doc_id").as("da"), col("c").as("ca")), Seq("da"))
+        .join(dcnt.select(col("doc_id").as("db"), col("c").as("cb")), Seq("db"))
         .filter(col("inter").cast("double") /
           (col("ca") + col("cb") - col("inter")) >= JacT)
         .select(col("da"), col("db"), lit(1).as("tp"))
       val nt = truth.agg(count(lit(1)).as("n_truth"))
-      val per = cand.join(broadcast(truth), Seq("da", "db"), "left")
+      val per = cand.join(truth, Seq("da", "db"), "left")
         .groupBy(col("ham"))
         .agg(count(lit(1)).as("n_cand"),
           sum(coalesce(col("tp"), lit(0))).as("n_true"))

@@ -194,7 +194,16 @@ object PipelineQueries16 {
         .mkString(" UNION ALL ")}) u
       ORDER BY rows_per_band"""
     }) { (s, dir) =>
-      val docs = Tables.dfSpread(s, dir, "documents")
+      // AUDIT op, bounded by contract (r17): the band-tuning ground truth
+      // is the UNBLOCKED shared-shingle self-join — strictly more work
+      // than p17's rare-capped blocking, whose 100x DNF was measured in
+      // r15. Band sweeps at production scale are tuned on a bounded
+      // subsample; past the bound use the prefix-filtered exact pair set.
+      val docs = TruthTier.guard(Tables.dfSpread(s, dir, "documents"),
+        "p77_band_tuning", "p191_jaccard_prefix_filter + p74_minhash_calibration",
+        TruthTier.documentsBound,
+        "the prefix-filtered exact pair set as truth, with minhash " +
+          "calibration on a bounded tuning sample")
         .withColumn("t", toks(col("text")))
       val shArr = array_distinct(transform(
         sequence(lit(1), greatest(size(col("t")) - 2, lit(0))),

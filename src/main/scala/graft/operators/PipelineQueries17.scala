@@ -125,7 +125,17 @@ object PipelineQueries17 {
       LEFT JOIN pairs p ON p.j >= th.threshold
       LEFT JOIN LATERAL (SELECT unnest([p.doc_a, p.doc_b]) AS d) d ON TRUE
       GROUP BY th.threshold ORDER BY th.threshold""")) { (s, dir) =>
-      val docs = Tables.dfSpread(s, dir, "documents")
+      // SWEEP op, bounded by contract (r17): the threshold sweep's pair
+      // base is the rare-capped full-blocking self-join — byte-the-same
+      // shape as p17, whose 100x DNF was measured in r15 (the 2% df cap is
+      // 10k docs/shingle at 500k docs). Past the bound the prefix-filtered
+      // twin computes the same >=0.5 pair set; sweeping lower thresholds
+      // at scale is a bounded-sample exercise by design.
+      val docs = TruthTier.guard(Tables.dfSpread(s, dir, "documents"),
+        "p80_dedup_threshold_sweep", "p191_jaccard_prefix_filter",
+        TruthTier.documentsBound,
+        "the same rare-capped pair semantics at the 0.5 threshold via " +
+          "lossless prefix filtering; sweep lower thresholds on a bounded sample")
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           toks(col("text")), 3))).as("shingle"))

@@ -130,7 +130,17 @@ object PipelineQueries27 {
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.6
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
-      val docs = Tables.dfSpread(s, dir, "documents")
+      // CONTAINMENT dedup, bounded by contract (r17): pair generation is
+      // the rare-capped full-blocking self-join — the p17 shape whose 100x
+      // DNF was measured in r15. Containment's asymmetric threshold has no
+      // committed lossless prefix twin here; past the bound, block by the
+      // SMALLER side's prefix (overlap >= t*min) or audit on a bounded
+      // sample — both recorded in BENCH_NOTES r17.
+      val docs = TruthTier.guard(Tables.dfSpread(s, dir, "documents"),
+        "p105_containment_dedup", "p191_jaccard_prefix_filter",
+        TruthTier.documentsBound,
+        "the prefix-filter pattern applied on the smaller side's prefix " +
+          "(overlap >= t*min bound), or a bounded audit sample")
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(Functions.wordShingles(
           toks(col("text")), 3))).as("shingle"))

@@ -34,13 +34,14 @@ object TruthTier {
     * bound. ScaleCheck catches this type specifically and records the row
     * as contract-excluded rather than failed. */
   final class ExceededException(
-      val op: String, val twin: String, val bound: Long, val actual: Long)
+      val op: String, val twin: String, val bound: Long, val actual: Long,
+      val relation: String =
+        "byte-identical results, bucketed plan (PrefixFilterTwinSpec)")
     extends RuntimeException(
       s"$op is a capped truth-tier verification baseline (input bound " +
         s"$bound rows, got $actual); its default plan is measured not to " +
-        s"finish at this scale. Use its scale-path twin $twin — byte-" +
-        s"identical results, bucketed plan (PrefixFilterTwinSpec / " +
-        s"bench_sf10_synth.json).")
+        s"finish at this scale. Use its scale-path twin $twin — $relation " +
+        s"(bench_sf10_synth.json).")
 
   /** Corpus bound for the documents-table truth tiers (p04/p17/p160):
     * covers the gate and the 10x synth tier with 2x headroom. */
@@ -56,9 +57,12 @@ object TruthTier {
     * The count is the price of an enforced contract — micro against the
     * quadratic work the op does on an admitted corpus, and the refusal
     * path is the entire point on an oversized one. */
-  def guard(df: DataFrame, op: String, twin: String, bound: Long): DataFrame = {
+  def guard(df: DataFrame, op: String, twin: String, bound: Long,
+      relation: String =
+        "byte-identical results, bucketed plan (PrefixFilterTwinSpec)")
+      : DataFrame = {
     val n = df.count()
-    if (n > bound) throw new ExceededException(op, twin, bound, n)
+    if (n > bound) throw new ExceededException(op, twin, bound, n, relation)
     df
   }
 }

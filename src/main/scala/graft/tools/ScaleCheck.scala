@@ -186,7 +186,16 @@ object ScaleCheck {
         case e: graft.operators.TruthTier.ExceededException =>
           println(s"SCALECHECK $name refused by truth-tier contract at " +
             s"${factor}x (bound ${e.bound}, corpus ${e.actual}) -> twin ${e.twin}")
-          Right((name, e))
+          Right((name, Some(e), ""))
+        case e: Throwable =>
+          // a failing op at the big tier is a FINDING to record, not a
+          // reason to lose the whole artifact run (r17: p55's hinted
+          // broadcast OOM'd at 100x and killed the un-hardened run before
+          // a single row was written)
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200).trim
+          println(s"SCALECHECK $name FAILED at ${factor}x: $msg")
+          Right((name, None, msg))
       }
     }
     val artifact = java.nio.file.Paths.get(artifactName)
@@ -202,8 +211,10 @@ object ScaleCheck {
     val merged = prior ++ rows.map {
       case Left((n, a, b, r, f)) =>
         n -> s"""{"sf01_sec":$a,"sf1_synth_sec":$b,"ratio":${math.rint(r * 100) / 100},"plan_flags":${f.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-      case Right((n, e)) =>
+      case Right((n, Some(e), _)) =>
         n -> s"""{"contract":"truth_tier_refused","bound":${e.bound},"corpus":${e.actual},"twin":"${e.twin}","plan_flags":[]}"""
+      case Right((n, None, msg)) =>
+        n -> s"""{"error":"$msg","plan_flags":[]}"""
     }.toMap
     // carry forward a hand-annotated notes field if the artifact has one
     val notes: String =

@@ -33,12 +33,17 @@ class TruthTierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truth-tier"))
   }
 
-  test("the four truth tiers run under their bounds at gate scale") {
+  test("the eight truth tiers run under their bounds at gate scale") {
     // The bounds must admit every tier the contract is measured at; the
     // gate corpora are far inside them (sf0.001 here; sf0.1 and the 10x
-    // synth tier are admitted by construction of the constants).
+    // synth tier are admitted by construction of the constants). The four
+    // r17 additions are the dedup-sweep/audit ops whose pair bases share
+    // (or dominate) p17's full-blocking shape: p55's hinted broadcast
+    // OOM'd the 100x session outright before its guard existed.
     for (op <- Seq("p04_dedup_jaccard", "p05_dedup_embedding",
-        "p17_dedup_jaccard_capped", "p160_idf_weighted_jaccard")) {
+        "p17_dedup_jaccard_capped", "p160_idf_weighted_jaccard",
+        "p55_dedup_audit", "p77_band_tuning",
+        "p80_dedup_threshold_sweep", "p105_containment_dedup")) {
       val df = SparkEntry.queries(op)(spark, SharedSpark.sf)
       assert(df.columns.nonEmpty, s"$op must still plan under its bound")
     }
