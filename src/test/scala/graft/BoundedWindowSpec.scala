@@ -113,6 +113,13 @@ class BoundedWindowSpec extends AnyFunSuite {
       "the pair-count cumulations run over the distinct doc-length frame — " +
         "value-domain-bounded at ANY corpus size (the p141/p155 class); the " +
         "row-level n_en x n_ot pair space is never materialized"),
+    "p230_rbo_token_ranks" -> (65536L,
+      "the two ranking windows run over the per-TOKEN count frame — " +
+        "vocabulary-bounded at ANY corpus size (the p174 top-word class); " +
+        "the depth frame is literal 1..20"),
+    "p232_runs_test" -> (4096L,
+      "the lag runs over the per-DAY count frame — bounded by the date " +
+        "span at ANY corpus size (the p150/p222 class; ~31 days here)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
