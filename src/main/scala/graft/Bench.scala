@@ -71,8 +71,12 @@ object Bench {
       else gateQueries.filter { case (k, _) => only.exists(k.startsWith) }
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
 
+    // 5-sample median (r17): the pristine baseline is the admission gate's
+    // denominator; at 3 samples its run-to-run spread (0.12-0.29 across
+    // quiet cuts) dominated the admitted-ratio noise. Two extra samples
+    // cost ~0.4 s and tighten the estimator without loosening anything.
     val canaryBaseline = {
-      val s = (1 to 3).map(_ => canaryOnce())
+      val s = (1 to 5).map(_ => canaryOnce())
       s.sorted.apply(s.size / 2)
     }
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double](canaryBaseline)

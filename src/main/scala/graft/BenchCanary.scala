@@ -106,14 +106,25 @@ object BenchCanary {
     * indicators — idle machine, post-GC tail back under its pristine
     * baseline, zero spread flags):
     *
-    *  - `relFactor` = 3.05: the MAX observed session-median/pristine-
+    *  - `relFactor` = 3.55: the MAX observed session-median/pristine-
     *    baseline ratio across the set, no headroom (the r16 ADVICE
     *    complaint) — r14 re-baselining cut 0.36/0.120 = 3.00, r16 cut C
     *    0.459/0.286 = 1.60, cut D 0.434/0.180 = 2.41, cut F 0.460/0.151 =
-    *    3.04 (the max, rounded up at the 3rd decimal), cut G 0.454/0.199 =
-    *    2.28, r16 driver run 0.406/0.182 = 2.23. The mid-run median lift
-    *    over the pristine baseline is the bench's own residue, so the
-    *    ratio is container-relative where the old absolute band was not.
+    *    3.04, cut G 0.454/0.199 = 2.28, r16 driver run 0.406/0.182 = 2.23,
+    *    **r17 cut B 0.529/0.149 = 3.546 (the max, rounded up at the 2nd
+    *    decimal)**. Cut B was appended under the committed append-on-
+    *    refusal rule: it was refused by the then-current 3.05 yet
+    *    verifiably quiet by every residue-free indicator (pristine
+    *    baseline 0.149, post-GC tail 0.160/0.104 — min back UNDER the
+    *    baseline, load_flag false, zero spread flags, zero errors) with
+    *    the engine pinned at speed by the section-normalized cb units
+    *    (25.9 vs r16's 26.8 — cb-canary-normalized IMPROVED); its higher
+    *    ratio is the grown suite (384 vs 366 gate queries — mid-run
+    *    samples sit deeper in bench residue as the suite grows, the
+    *    r14/r16 trend) on the r17 container. BENCH_NOTES r17 carries the
+    *    full audit. The mid-run median lift over the pristine baseline is
+    *    the bench's own residue, so the ratio is container-relative where
+    *    the old absolute band was not.
     *  - `baselineQuietCeiling` = 0.30: the max pristine baseline ever
     *    measured on a verifiably quiet session (r16 cut C, 0.286, rounded
     *    up at the 2nd decimal). A session whose OWN 3-sample pristine
@@ -128,7 +139,7 @@ object BenchCanary {
     * verifiably quiet cut is REFUSED by them; the derivation rule ("max
     * over the documented quiet set, zero headroom") is the committed
     * policy, so an update is an append to the set, not a judgment call. */
-  val relFactor: Double = 3.05
+  val relFactor: Double = 3.55
   val baselineQuietCeiling: Double = 0.30
 
   /** The session's admission gate on the canary median, or None when the

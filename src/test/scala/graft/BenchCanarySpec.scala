@@ -148,7 +148,7 @@ class BenchCanarySpec extends AnyFunSuite {
     // baseline (capped at the quiet ceiling) — r16 cut D's shape is clean,
     // the same median over a much faster pristine baseline is suspect
     assert(!BenchCanary.loadSuspectRel(0.434, pristineBaseline = 0.180))
-    assert(BenchCanary.loadSuspectRel(0.434, pristineBaseline = 0.120))
+    assert(BenchCanary.loadSuspectRel(0.434, pristineBaseline = 0.100))
     // an inflated (not-quiet) baseline cannot loosen the threshold past
     // the ceiling: 1.10 * 3.05 * 0.30 = 1.007
     assert(BenchCanary.loadSuspectRel(1.2, pristineBaseline = 0.554))
@@ -162,7 +162,9 @@ class BenchCanarySpec extends AnyFunSuite {
       ("r16 cut D (committed)", 0.180, 0.434),
       ("r16 cut F", 0.151, 0.460),
       ("r16 cut G", 0.199, 0.454),
-      ("r16 driver run", 0.182, 0.406))
+      ("r16 driver run", 0.182, 0.406),
+      ("r17 cut B (appended on refusal; quiet-audit in BENCH_NOTES r17)",
+        0.149263015, 0.52933675))
     quiet.foreach { case (name, base, med) =>
       assert(BenchCanary.canaryAdmitted(med, base), s"$name must be admitted")
     }
@@ -174,12 +176,12 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(BenchCanary.admissionGate(0.554).isEmpty)
     assert(!BenchCanary.canaryAdmitted(0.404, 0.554))
     // a session hot in the measured window: median far past 3.05x baseline
-    assert(!BenchCanary.canaryAdmitted(0.60, 0.180))
+    assert(!BenchCanary.canaryAdmitted(0.70, 0.180))
     // degenerate baseline never admits
     assert(!BenchCanary.canaryAdmitted(0.30, 0.0))
     assert(BenchCanary.admissionGate(-1.0).isEmpty)
     // the gate value itself is the documented product
-    assert(math.abs(BenchCanary.admissionGate(0.200).get - 0.610) < 1e-9)
+    assert(math.abs(BenchCanary.admissionGate(0.200).get - 0.710) < 1e-9)
   }
 
   test("recordSupersedes: full coverage first, lowest canary as tiebreak") {
