@@ -294,8 +294,9 @@ object Bench {
     // quiet ceiling — see BenchCanary), emitted so the decision is
     // reproducible from the artifact alone (r16 VERDICT #3).
     val canaryGate = BenchCanary.admissionGate(canaryBaseline).getOrElse(-1.0)
+    val tailQuietField = BenchCanary.tailQuiet(canaryBaseline, canaryTail)
     val adjudication =
-      s""""load_suspect":$loadSuspect,"canary_gate":$canaryGate,"canary_gate_rule":"median<=${BenchCanary.relFactor}*baseline && baseline<=${BenchCanary.baselineQuietCeiling}","cb_canary_median":$cbCanaryMedian,"dispersion_flagged":$dispersionFlagged"""
+      s""""load_suspect":$loadSuspect,"canary_gate":$canaryGate,"tail_quiet":$tailQuietField,"admission_rule":"errors==0 && baseline<=${BenchCanary.baselineQuietCeiling} && tail_min<=${BenchCanary.tailQuietFactor}*baseline && median<=${BenchCanary.medianSanityCeiling}s && !load_flag","cb_canary_median":$cbCanaryMedian,"dispersion_flagged":$dispersionFlagged"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${medJson(results)},"clickbench":${medJson(cbResults)},"clickbench_total":$cbTotal,"errors":$errs,"spread_flagged":$spreadFlagged,$adjudication,"sf":"$sfDir","trials":$trials,"interleaved":true,"load_flag":$loadFlag$minFields}"""
 
     // Full artifact on disk: the driver's tail-capture truncates the stdout
@@ -310,17 +311,22 @@ object Bench {
     // driver's post-commit bench replaced the official artifact twice).
     val canaryJson = canarySamples.mkString("[", ",", "]")
     val tailJson = canaryTail.mkString("[", ",", "]")
-    // Round-17 admission rule (r16 VERDICT #3): an OFFICIAL cut requires
-    // the session canary median at or below the SELF-CALIBRATING gate —
-    // relFactor times this session's own pristine baseline, with the
-    // baseline itself under the quiet ceiling (BenchCanary.canaryAdmitted).
-    // The round-16 absolute band did the same job but was a hand-updated
-    // constant the gated sessions themselves justified; the relative gate
-    // moves with the container automatically and its constants derive
-    // mechanically from the documented r14-r16 quiet-cut set.
-    val canaryAdmitted = BenchCanary.canaryAdmitted(canaryMedian, canaryBaseline)
+    // Round-18 admission rule (r17 VERDICT #3): the binding signal is the
+    // residue-free POST-GC TAIL — after the run ends and a GC drops the
+    // bench's own residue, the canary must return to at-or-under its
+    // pristine pre-run cost. That indicator is suite-size-independent
+    // (the r17 relative gate's numerator grew with every added gate query,
+    // ratcheting relFactor 3.05->3.55 in its first live session) and
+    // container-relative. relFactor survives only as the report-only
+    // load_suspect stamp (per-query minima forensics) and the canary_gate
+    // report field; neither blocks admission. An admitted cut also
+    // requires zero errored queries (r17 ADVICE #1 — a cut with failing
+    // gate queries must not read as a full-coverage record).
+    val errsN = (results ++ cbResults).count(_.median < 0)
+    val canaryAdmitted = BenchCanary.cutAdmitted(
+      canaryMedian, canaryBaseline, canaryTail, errsN)
     val admitted = sys.env.get("SPARK_GRAFT_OFFICIAL").contains("1") &&
-      only.isEmpty && !loadSuspect && !loadFlag && canaryAdmitted
+      only.isEmpty && !loadFlag && canaryAdmitted
     // Committed-record rule (r16 VERDICT #2: lowest-canary selected a
     // partial-coverage cut over two full-coverage admitted ones). An
     // admitted cut only OVERWRITES bench_full.json when it supersedes the
@@ -330,7 +336,10 @@ object Bench {
     // SPARK_GRAFT_RECORD_FORCE=1 overrides for the rare legitimate reset
     // (e.g. a gate query was intentionally REMOVED, so full coverage
     // shrank) — using it is a protocol event to document in BENCH_NOTES.
-    val coverage = results.size + cbResults.size
+    // Coverage counts MEASURED queries only (r17 ADVICE #1: errored rows
+    // keep median -1 in `results`, so size-based coverage let a failing
+    // cut read as full for recordSupersedes).
+    val coverage = (results ++ cbResults).count(_.median >= 0)
     def existingRecord(): Option[(Int, Double)] =
       try {
         val f = new java.io.File("bench_full.json")
@@ -346,9 +355,14 @@ object Bench {
       if (!admitted)
         if (!sys.env.get("SPARK_GRAFT_OFFICIAL").contains("1")) "unofficial_run"
         else if (only.nonEmpty) "not_admitted(narrowed)"
-        else if (loadFlag || loadSuspect) "not_admitted(load)"
-        else if (!canaryAdmitted) "not_admitted(canary_gate)"
-        else "not_admitted"
+        else if (loadFlag) "not_admitted(load)"
+        else if (errsN > 0) "not_admitted(errors)"
+        else if (canaryBaseline <= 0 ||
+          canaryBaseline > BenchCanary.baselineQuietCeiling)
+          "not_admitted(baseline)"
+        else if (!BenchCanary.tailQuiet(canaryBaseline, canaryTail))
+          "not_admitted(tail)"
+        else "not_admitted(median_ceiling)"
       else if (sys.env.get("SPARK_GRAFT_RECORD_FORCE").contains("1")) "forced"
       else existingRecord() match {
         case Some((exCov, exCan))

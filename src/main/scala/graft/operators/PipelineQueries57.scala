@@ -238,14 +238,15 @@ object PipelineQueries57 {
 
     // --------------------- skewness / kurtosis shape audit (p239)
     QueryDef("p239_shape_moments", Some("""
-      WITH s AS (
+      WITH d AS (
+        SELECT source, CAST(n_chars AS DECIMAL(9,0)) AS x FROM documents),
+      s AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(n_chars) AS DECIMAL(38,0)) AS s1,
-               CAST(sum(n_chars * n_chars) AS DECIMAL(38,0)) AS s2,
-               CAST(sum(n_chars * n_chars * n_chars) AS DECIMAL(38,0)) AS s3,
-               CAST(sum(n_chars * n_chars * n_chars * n_chars)
-                 AS DECIMAL(38,0)) AS s4
-        FROM documents GROUP BY source),
+               CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+               CAST(sum(x * x) AS DECIMAL(38,0)) AS s2,
+               CAST(sum(x * x * x) AS DECIMAL(38,0)) AS s3,
+               CAST(sum(x * x * x * x) AS DECIMAL(38,0)) AS s4
+        FROM d GROUP BY source),
       m AS (
         SELECT source, n, CAST(s1 AS DOUBLE) / n AS m1,
                CAST(s2 AS DOUBLE) / n AS r2,
@@ -272,13 +273,18 @@ object PipelineQueries57 {
              round(((n + CAST(1.0 AS DOUBLE)) * g2 + 6) * (n - 1)
                / ((n - 2) * (CAST(n AS DOUBLE) - 3)), 6) AS kurt_g2_adj
       FROM g ORDER BY source""")) { (s, dir) =>
-      val x = col("n_chars")
+      // Per-row DECIMAL(9,0) BEFORE forming powers (r17 ADVICE #4: the old
+      // BIGINT x*x*x*x silently wraps past ~55k chars under non-ANSI Spark
+      // where DuckDB errors). (9,0)^4 = DECIMAL(36,0) stays bind-legal in
+      // DuckDB (products past 38 digits are a bind error there) and exact
+      // in both engines for any n_chars <= 1e9.
+      val x = col("n_chars").cast("decimal(9,0)")
       val st = Tables.dfSpread(s, dir, "documents").groupBy(col("source")).agg(
         count(lit(1)).cast("bigint").as("n"),
         sum(x).cast("decimal(38,0)").as("s1"),
         sum(x * x).cast("decimal(38,0)").as("s2"),
-        sum((x * x * x).cast("decimal(38,0)")).cast("decimal(38,0)").as("s3"),
-        sum((x * x * x * x).cast("decimal(38,0)")).cast("decimal(38,0)").as("s4"))
+        sum(x * x * x).cast("decimal(38,0)").as("s3"),
+        sum(x * x * x * x).cast("decimal(38,0)").as("s4"))
       val m = st.select(col("source"), col("n"),
         (col("s1").cast("double") / col("n")).as("m1"),
         (col("s2").cast("double") / col("n")).as("r2"),

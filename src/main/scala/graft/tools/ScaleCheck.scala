@@ -187,11 +187,14 @@ object ScaleCheck {
           println(s"SCALECHECK $name refused by truth-tier contract at " +
             s"${factor}x (bound ${e.bound}, corpus ${e.actual}) -> twin ${e.twin}")
           Right((name, Some(e), ""))
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           // a failing op at the big tier is a FINDING to record, not a
           // reason to lose the whole artifact run (r17: p55's hinted
           // broadcast OOM'd at 100x and killed the un-hardened run before
-          // a single row was written)
+          // a single row was written). NonFatal only (r17 ADVICE #2):
+          // after an OutOfMemoryError the JVM is unreliable — let fatal
+          // errors kill the run; the per-op artifact merge preserves prior
+          // rows, and OOM-prone ops are run in their own JVM.
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200).trim
           println(s"SCALECHECK $name FAILED at ${factor}x: $msg")

@@ -150,35 +150,68 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(!BenchCanary.loadSuspectRel(0.434, pristineBaseline = 0.180))
     assert(BenchCanary.loadSuspectRel(0.434, pristineBaseline = 0.100))
     // an inflated (not-quiet) baseline cannot loosen the threshold past
-    // the ceiling: 1.10 * 3.05 * 0.30 = 1.007
-    assert(BenchCanary.loadSuspectRel(1.2, pristineBaseline = 0.554))
+    // the ceiling: 1.10 * 3.55 * 0.30 = 1.1715 — 1.5 sits clearly past it
+    // (r17 ADVICE #5: the old 1.2 input passed the capped ceiling by only
+    // 2% once relFactor moved to 3.55)
+    assert(BenchCanary.loadSuspectRel(1.5, pristineBaseline = 0.554))
   }
 
-  test("self-calibrating admission: every documented r14-r16 quiet cut is admitted") {
-    // (baseline, median) pairs from the committed artifacts / BENCH_NOTES
+  test("r18 admission: every documented quiet cut is tail-quiet and admitted") {
+    // (baseline, median, tail) from the committed artifacts / BENCH_NOTES —
+    // the binding signal is the post-GC tail returning to at-or-under the
+    // session's pristine baseline (r17 VERDICT #3: the r17 relative gate's
+    // numerator grew with suite size and its denominator varied 2.3x across
+    // quiet sessions, ratcheting relFactor 3.05->3.55 in its first live
+    // session; the tail is suite-size-independent)
     val quiet = Seq(
-      ("r14 re-baselining cut", 0.120, 0.360),
-      ("r16 cut C", 0.286, 0.459),
-      ("r16 cut D (committed)", 0.180, 0.434),
-      ("r16 cut F", 0.151, 0.460),
-      ("r16 cut G", 0.199, 0.454),
-      ("r16 driver run", 0.182, 0.406),
-      ("r17 cut B (appended on refusal; quiet-audit in BENCH_NOTES r17)",
-        0.149263015, 0.52933675))
-    quiet.foreach { case (name, base, med) =>
-      assert(BenchCanary.canaryAdmitted(med, base), s"$name must be admitted")
+      ("r16 cut D (committed)", 0.180022988, 0.434087498, Seq(0.092504387, 0.054041968)),
+      ("r16 cut F", 0.151408218, 0.460039, Seq(0.096282516, 0.087271046)),
+      ("r16 cut G", 0.199347061, 0.454292656, Seq(0.151719754, 0.097808478)),
+      ("r17 cut B (quiet-audited on refusal, BENCH_NOTES r17)",
+        0.149263015, 0.52933675, Seq(0.159507912, 0.103944566)),
+      // r17 cut D: the cut the r17 gate refused at ratio 4.06 over the
+      // fastest-ever 0.125 pristine baseline and that shipped WITHOUT its
+      // audit (r17 VERDICT #2). Adjudicated quiet in BENCH_NOTES r18:
+      // tail min 0.1047 = 0.84x its baseline (residue-free), load_flag
+      // false, zero errors/spread flags — the refusal was the unstable
+      // denominator, which is exactly why the r18 gate binds on the tail.
+      ("r17 cut D (adjudicated quiet, BENCH_NOTES r18)",
+        0.124736453, 0.506287546, Seq(0.260671818, 0.104743659)),
+      ("r17 driver unofficial run", 0.247551727, 0.447657823, Seq(0.153720543, 0.10752511)))
+    quiet.foreach { case (name, base, med, tail) =>
+      assert(BenchCanary.tailQuiet(base, tail), s"$name must be tail-quiet")
+      assert(BenchCanary.cutAdmitted(med, base, tail, nErrors = 0),
+        s"$name must be admitted")
     }
   }
 
-  test("self-calibrating admission: hot or unquiet sessions are refused") {
-    // r16 cut A: JIT-cold/contaminated 0.554 baseline — the relative gate
-    // would read 1.69 s; the baseline ceiling refuses the session outright
+  test("r18 admission: unquiet starts, residue, errors, and gross medians refuse") {
+    val cleanTail = Seq(0.15, 0.10)
+    // r17 cut A: baseline 0.844 (launched 1 min after a 33-min suite run) —
+    // refused by the quiet ceiling regardless of its tail
+    assert(!BenchCanary.cutAdmitted(0.527, 0.843983923, Seq(0.155, 0.081), 0))
+    // tail still elevated after GC: residue/load present -> refused
+    assert(!BenchCanary.tailQuiet(0.180, Seq(0.30, 0.22)))
+    assert(!BenchCanary.cutAdmitted(0.434, 0.180, Seq(0.30, 0.22), 0))
+    // tail min AT the baseline is the boundary and admits (definitional 1.0x)
+    assert(BenchCanary.tailQuiet(0.180, Seq(0.30, 0.180)))
+    // any errored gate query refuses (r17 ADVICE #1)
+    assert(!BenchCanary.cutAdmitted(0.434, 0.180, cleanTail, nErrors = 1))
+    // gross-contamination backstop: a >1.0s median refuses even tail-quiet
+    assert(!BenchCanary.cutAdmitted(1.2, 0.180, cleanTail, 0))
+    // degenerate inputs never admit
+    assert(!BenchCanary.cutAdmitted(0.30, 0.0, cleanTail, 0))
+    assert(!BenchCanary.tailQuiet(0.20, Nil))
+    assert(!BenchCanary.tailQuiet(0.0, cleanTail))
+  }
+
+  test("legacy relative gate still reports (canary_gate field / loadSuspectRel)") {
+    // r16 cut A's JIT-cold 0.554 baseline: no gate value
     assert(BenchCanary.admissionGate(0.554).isEmpty)
     assert(!BenchCanary.canaryAdmitted(0.404, 0.554))
-    // a session hot in the measured window: median far past 3.05x baseline
-    assert(!BenchCanary.canaryAdmitted(0.70, 0.180))
-    // degenerate baseline never admits
-    assert(!BenchCanary.canaryAdmitted(0.30, 0.0))
+    // a median far past 3.55x baseline still reads as not-canary-admitted
+    // (feeds the report-only load_suspect stamp, NOT admission)
+    assert(!BenchCanary.canaryAdmitted(0.80, 0.180))
     assert(BenchCanary.admissionGate(-1.0).isEmpty)
     // the gate value itself is the documented product
     assert(math.abs(BenchCanary.admissionGate(0.200).get - 0.710) < 1e-9)
