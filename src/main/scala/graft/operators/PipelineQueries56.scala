@@ -149,11 +149,24 @@ object PipelineQueries56 {
         .select(when(col("lang") === "en", 1).otherwise(0).as("is_en"),
           explode(split(lower(col("text")), "\\s+")).as("w"))
         .filter(col("w") =!= "")
-      def top20(isEn: Int) = tok.filter(col("is_en") === isEn)
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .select(col("w"), row_number()
+      // Partial top-k, then re-rank (r17 VERDICT #7): a global top-20 token
+      // is necessarily in its shuffle partition's top-20 (each token lands
+      // in exactly one partition after the groupBy), so rank per partition
+      // first — the corpus-wide vocabulary never passes through a
+      // single-partition sort; the final window sees <= 20 * P rows
+      // (P = shuffle partitions), a configuration bound, not a data bound.
+      def top20(isEn: Int) = {
+        val counts = tok.filter(col("is_en") === isEn)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val local = counts
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrk", row_number().over(
+            Window.partitionBy(col("pid")).orderBy(col("c").desc, col("w"))))
+          .filter(col("lrk") <= 20)
+        local.select(col("w"), row_number()
           .over(Window.orderBy(col("c").desc, col("w"))).cast("bigint").as("rk"))
-        .filter(col("rk") <= 20)
+          .filter(col("rk") <= 20)
+      }
       val re = top20(1).select(col("w"), col("rk").as("ra"))
       val ro = top20(0).select(col("w"), col("rk").as("rb"))
       val p = re.join(ro, "w").select(col("ra"), col("rb"))

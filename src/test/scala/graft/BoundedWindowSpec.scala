@@ -113,13 +113,21 @@ class BoundedWindowSpec extends AnyFunSuite {
       "the pair-count cumulations run over the distinct doc-length frame — " +
         "value-domain-bounded at ANY corpus size (the p141/p155 class); the " +
         "row-level n_en x n_ot pair space is never materialized"),
-    "p230_rbo_token_ranks" -> (65536L,
-      "the two ranking windows run over the per-TOKEN count frame — " +
-        "vocabulary-bounded at ANY corpus size (the p174 top-word class); " +
-        "the depth frame is literal 1..20"),
+    "p230_rbo_token_ranks" -> (1024L,
+      "the global re-rank windows see only the per-partition top-20 " +
+        "survivors (<= 20 * shufflePartitions rows — a CONFIGURATION " +
+        "bound, not a data bound; the partition-local rank is " +
+        "pid-partitioned); the depth frame is literal 1..20"),
     "p232_runs_test" -> (4096L,
       "the lag runs over the per-DAY count frame — bounded by the date " +
         "span at ANY corpus size (the p150/p222 class; ~31 days here)"),
+    "p244_ad_ksample" -> (16384L,
+      "the pooled mid-cumulative runs over the distinct doc-length frame — " +
+        "value-domain-bounded at ANY corpus size (the p141/p155 midrank " +
+        "class); the per-language cumulation is lang-partitioned"),
+    "p246_pettitt_changepoint" -> (4096L,
+      "the U_t prefix sum runs over the per-DAY count frame — bounded by " +
+        "the date span at ANY corpus size (the p232/p237 class)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
