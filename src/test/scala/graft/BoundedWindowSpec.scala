@@ -128,6 +128,12 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p246_pettitt_changepoint" -> (4096L,
       "the U_t prefix sum runs over the per-DAY count frame — bounded by " +
         "the date span at ANY corpus size (the p232/p237 class)"),
+    "p248_dunning_g2" -> (64L,
+      "the rank numbering sits over a LIMIT 15 frame (p47's whitelisted " +
+        "pattern); the vocabulary-wide cut is TakeOrderedAndProject"),
+    "p251_durbin_watson" -> (4096L,
+      "the residual lag runs over the per-DAY count frame — bounded by " +
+        "the date span at ANY corpus size (the p232 class)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
