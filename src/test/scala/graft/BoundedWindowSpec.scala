@@ -134,6 +134,12 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p251_durbin_watson" -> (4096L,
       "the residual lag runs over the per-DAY count frame — bounded by " +
         "the date span at ANY corpus size (the p232 class)"),
+    "p253_page_hinkley" -> (4096L,
+      "running mean / m_t / min-so-far all cumulate over the per-DAY " +
+        "count frame — date-span-bounded (the p232/p246 class)"),
+    "p256_hurst_exponent" -> (4096L,
+      "the day numbering runs over the per-DAY count frame — date-span-" +
+        "bounded; the R/S cumulations are (scale, segment)-partitioned"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
