@@ -177,7 +177,13 @@ class BenchCanarySpec extends AnyFunSuite {
       // denominator, which is exactly why the r18 gate binds on the tail.
       ("r17 cut D (adjudicated quiet, BENCH_NOTES r18)",
         0.124736453, 0.506287546, Seq(0.260671818, 0.104743659)),
-      ("r17 driver unofficial run", 0.247551727, 0.447657823, Seq(0.153720543, 0.10752511)))
+      ("r17 driver unofficial run", 0.247551727, 0.447657823, Seq(0.153720543, 0.10752511)),
+      // r18 cut A: the new gate's first live admission — ratio 3.65 would
+      // have been REFUSED by the retired r17 relative gate (3.55); the
+      // tail (0.109 = 0.84x baseline) admitted it, and it committed as
+      // the official record at full 384 coverage (bench_r18_cutA.json)
+      ("r18 cut A (committed record)", 0.129848071, 0.47411271,
+        Seq(0.149300984, 0.109411869)))
     quiet.foreach { case (name, base, med, tail) =>
       assert(BenchCanary.tailQuiet(base, tail), s"$name must be tail-quiet")
       assert(BenchCanary.cutAdmitted(med, base, tail, nErrors = 0),
