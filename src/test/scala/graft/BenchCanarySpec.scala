@@ -182,8 +182,13 @@ class BenchCanarySpec extends AnyFunSuite {
       // have been REFUSED by the retired r17 relative gate (3.55); the
       // tail (0.109 = 0.84x baseline) admitted it, and it committed as
       // the official record at full 384 coverage (bench_r18_cutA.json)
-      ("r18 cut A (committed record)", 0.129848071, 0.47411271,
-        Seq(0.149300984, 0.109411869)))
+      ("r18 cut A (superseded record)", 0.129848071, 0.47411271,
+        Seq(0.149300984, 0.109411869)),
+      // r18 cut C: the committed full-402-coverage record; ratio 4.09 —
+      // the second quiet cut in one round the retired relative gate would
+      // have refused (bench_r18_cutC.json)
+      ("r18 cut C (committed record)", 0.127031397, 0.519745145,
+        Seq(0.130000176, 0.096140621)))
     quiet.foreach { case (name, base, med, tail) =>
       assert(BenchCanary.tailQuiet(base, tail), s"$name must be tail-quiet")
       assert(BenchCanary.cutAdmitted(med, base, tail, nErrors = 0),
