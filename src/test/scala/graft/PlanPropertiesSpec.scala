@@ -399,4 +399,28 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
       "no cartesian product in the PQ plan")
   }
+
+  test("p248 (G2 keyness): vocabulary top-k is TakeOrderedAndProject, not a global sort") {
+    val nodes = collectAll(planOf(run("p248_dunning_g2")))
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"no distributed top-k in: ${nodes.map(_.nodeName).distinct}")
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")))
+  }
+
+  test("p230 (RBO): the re-ranked top-20 path plans no corpus-sized global sort") {
+    // partial top-k per shuffle partition (pid-partitioned window) feeds
+    // the global re-rank; the only un-partitioned windows must sit above
+    // a Filter on the partition-local rank (r17 VERDICT #7 rework)
+    val nodes = collectAll(planOf(run("p230_rbo_token_ranks")))
+    val sorts = nodes.collect {
+      case st: org.apache.spark.sql.execution.SortExec if st.global => st }
+    // global SortExec only for the final tiny ORDER BY / re-rank frames;
+    // none may sit directly on a scan/exchange of the token-count frame
+    sorts.foreach { st =>
+      val below = collectAll(st.child).map(_.nodeName)
+      assert(below.exists(n => n.contains("Filter") || n.contains("Window")
+          || n.contains("TakeOrdered") || n.contains("HashAggregate")),
+        s"global sort directly over raw data: $below")
+    }
+  }
 }
