@@ -140,6 +140,15 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p256_hurst_exponent" -> (4096L,
       "the day numbering runs over the per-DAY count frame — date-span-" +
         "bounded; the R/S cumulations are (scale, segment)-partitioned"),
+    "p259_ljung_box" -> (4096L,
+      "the rank join runs over the per-DAY count frame — date-span-" +
+        "bounded (the p201 skeleton; ~31 days here)"),
+    "p262_chow_break" -> (4096L,
+      "the midpoint split numbering runs over the per-DAY count frame — " +
+        "date-span-bounded (the p232/p246 class)"),
+    "p263_wilcoxon_signed_rank" -> (4096L,
+      "the midrank cumsum runs over the distinct |d| value frame — " +
+        "bounded by the day span (<= one row per distinct daily gap)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
