@@ -149,6 +149,16 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p263_wilcoxon_signed_rank" -> (4096L,
       "the midrank cumsum runs over the distinct |d| value frame — " +
         "bounded by the day span (<= one row per distinct daily gap)"),
+    "p265_fisher_g" -> (4096L,
+      "the day numbering runs over the per-DAY count frame; the " +
+        "day x Fourier-frequency grid is (span x span/2)-bounded — a " +
+        "calendar property (~31 x 14 here)"),
+    "p266_turning_points" -> (4096L,
+      "lag/lead run over the per-DAY count frame — date-span-bounded " +
+        "(the p232/p251 class)"),
+    "p267_mood_median" -> (16384L,
+      "the grand-median cumsum runs over the distinct doc-length value " +
+        "frame — value-domain-bounded (the p141/p155/p244 midrank class)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
