@@ -159,6 +159,15 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p267_mood_median" -> (16384L,
       "the grand-median cumsum runs over the distinct doc-length value " +
         "frame — value-domain-bounded (the p141/p155/p244 midrank class)"),
+    "p271_sample_entropy" -> (4096L,
+      "lead/numbering run over the per-DAY count frame; the template pair " +
+        "frame is (span^2)-bounded — a calendar property (the p246 class)"),
+    "p272_cox_stuart" -> (4096L,
+      "the half-split numbering runs over the per-DAY count frame — " +
+        "date-span-bounded (the p232/p246 class)"),
+    "p275_pacf_durbin_levinson" -> (4096L,
+      "the rank join runs over the per-DAY count frame — date-span-" +
+        "bounded (the p201/p259 skeleton)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
