@@ -420,7 +420,11 @@ object PipelineQueries61 {
       val brk = seg.filter(col("sg") === 2).agg(min(col("d")).as("break_date"))
       val r1 = rss.filter(col("sg") === 1).select(col("rss").as("rss1"))
       val r2 = rss.filter(col("sg") === 2).select(col("rss").as("rss2"))
-      nn.crossJoin(brk).crossJoin(r1).crossJoin(r2).crossJoin(prss)
+      // explicit broadcasts: all five sides are 1-row aggregates, but at
+      // synth scale the planner's stats lost that and flipped the join to
+      // CartesianProduct (caught by ScaleCheck's 10x plan audit)
+      nn.crossJoin(broadcast(brk)).crossJoin(broadcast(r1))
+        .crossJoin(broadcast(r2)).crossJoin(broadcast(prss))
         .select(col("n").as("n_days"), col("break_date"),
           round(((col("rssp") - col("rss1") - col("rss2")) / 2)
             / ((col("rss1") + col("rss2")) / (col("n") - 4)), 6).as("chow_f"))
@@ -504,13 +508,17 @@ object PipelineQueries61 {
         FROM cc),
       y AS (
         SELECT types, n1, n2, n3, n4,
-               CAST(n1 AS DOUBLE) / (n1 + 2 * n2) AS yy
+               CAST(n1 AS DOUBLE) / nullif(n1 + 2 * n2, 0) AS yy
         FROM n)
       SELECT types AS n_bigram_types, n1, n2, n3, n4,
-             round(1 - 2 * yy * n2 / n1, 6) AS d1,
-             round(2 - 3 * yy * n3 / n2, 6) AS d2,
-             round(3 - 4 * yy * n4 / n3, 6) AS d3plus
+             round(1 - 2 * yy * n2 / nullif(n1, 0), 6) AS d1,
+             round(2 - 3 * yy * n3 / nullif(n2, 0), 6) AS d2,
+             round(3 - 4 * yy * n4 / nullif(n3, 0), 6) AS d3plus
       FROM y""")) { (s, dir) =>
+      // nullif guards: a corpus can legitimately empty a count-of-counts
+      // bucket (the 10x salted-replica synth does), and the discount for
+      // that bucket is then undefined — NULL on both engines, not an
+      // ANSI divide-by-zero error
       val tf = Tables.dfSpread(s, dir, "documents")
         .select(explode(graft.Functions.wordShingles(
           split(lower(col("text")), "\\s+"), 2)).as("b"))
@@ -526,13 +534,16 @@ object PipelineQueries61 {
         sum(when(col("r") === 4, col("n_r")).otherwise(0L))
           .cast("bigint").as("n4"))
       val y = n.select(col("types"), col("n1"), col("n2"), col("n3"), col("n4"),
-        (col("n1").cast("double") / (col("n1") + lit(2) * col("n2"))).as("yy"))
+        (col("n1").cast("double")
+          / nullif(col("n1") + lit(2) * col("n2"), lit(0))).as("yy"))
       y.select(col("types").as("n_bigram_types"),
         col("n1"), col("n2"), col("n3"), col("n4"),
-        round(lit(1) - lit(2) * col("yy") * col("n2") / col("n1"), 6).as("d1"),
-        round(lit(2) - lit(3) * col("yy") * col("n3") / col("n2"), 6).as("d2"),
-        round(lit(3) - lit(4) * col("yy") * col("n4") / col("n3"), 6)
-          .as("d3plus"))
+        round(lit(1) - lit(2) * col("yy") * col("n2")
+          / nullif(col("n1"), lit(0)), 6).as("d1"),
+        round(lit(2) - lit(3) * col("yy") * col("n3")
+          / nullif(col("n2"), lit(0)), 6).as("d2"),
+        round(lit(3) - lit(4) * col("yy") * col("n4")
+          / nullif(col("n3"), lit(0)), 6).as("d3plus"))
     }
   )
 }

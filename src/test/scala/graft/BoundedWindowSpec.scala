@@ -168,6 +168,18 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p275_pacf_durbin_levinson" -> (4096L,
       "the rank join runs over the per-DAY count frame — date-span-" +
         "bounded (the p201/p259 skeleton)"),
+    "p278_ansari_bradley" -> (16384L,
+      "the both-ends score cumsum runs over the distinct doc-length " +
+        "value frame — value-domain-bounded (the p244/p267 midrank class)"),
+    "p279_cusum_squares" -> (4096L,
+      "the squared-residual cumsum and numbering run over the per-DAY " +
+        "count frame — date-span-bounded (the p150/p253 class)"),
+    "p280_bartels_rank" -> (4096L,
+      "the midrank cumsum runs over the distinct daily-count value frame " +
+        "and the lead over the day frame — both span/value-bounded"),
+    "p281_kpss_stationarity" -> (4096L,
+      "the partial-sum cumsum and numbering run over the per-DAY count " +
+        "frame — date-span-bounded (the p253/p279 class)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
