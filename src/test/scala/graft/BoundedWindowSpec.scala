@@ -180,6 +180,15 @@ class BoundedWindowSpec extends AnyFunSuite {
     "p281_kpss_stationarity" -> (4096L,
       "the partial-sum cumsum and numbering run over the per-DAY count " +
         "frame — date-span-bounded (the p253/p279 class)"),
+    "p284_dunn_posthoc" -> (16384L,
+      "the midrank cumsum runs over the distinct doc-length value frame — " +
+        "value-domain-bounded (the p223 midrank machinery, verbatim)"),
+    "p286_nelson_aalen" -> (4096L,
+      "the at-risk and hazard cumsums run over the distinct event-time " +
+        "frame — bounded by the date span (the p188 risk-set class)"),
+    "p287_lepage" -> (16384L,
+      "both component cumsums share the distinct doc-length value frame — " +
+        "value-domain-bounded (the p244/p267/p278 midrank class)"),
     "p156_quantile_sketch" -> (512L,
       "cumulative counts run over the constant 256-bin histogram (the " +
         "sketch's whole point); exact-side selection is two-phase bucketed"),
