@@ -100,10 +100,15 @@ object PipelineQueries63 {
           lead(col("c"), 2).over(w).as("y2"),
           row_number().over(w).as("rn"))
         .filter(col("y2").isNotNull)
-      // (span^2)-bounded template pair frame — the p246 Pettitt class
+      // (span^2)-bounded template pair frame — the p246 Pettitt class.
+      // broadcast() is load-bearing: the build side is the calendar-bounded
+      // day frame, but at 100x synth the planner's size estimate for the
+      // aggregated input exceeded the broadcast threshold and flipped this
+      // inequality join to CartesianProduct (ScaleCheck-caught)
       val b = tpl.select(col("c").as("bc0"), col("y1").as("by1"),
         col("y2").as("by2"), col("rn").as("brn"))
-      val pr = tpl.join(b, col("brn") > col("rn")).crossJoin(broadcast(rr))
+      val pr = tpl.join(broadcast(b), col("brn") > col("rn"))
+        .crossJoin(broadcast(rr))
         .agg(sum(when(abs(col("c") - col("bc0")) <= col("r")
           && abs(col("y1") - col("by1")) <= col("r"), 1L).otherwise(0L))
           .cast("bigint").as("bc"),
