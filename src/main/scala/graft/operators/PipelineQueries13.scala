@@ -196,47 +196,73 @@ object PipelineQueries13 {
              CAST(sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos
       FROM scored GROUP BY label ORDER BY label"""
     }) { (s, dir) =>
-      import s.implicits._
+      // r18 OPTIMIZATION (guide §2.4/§1.2: remove shuffles outright; §4:
+      // codegen-friendly expressions). The old shape exploded the corpus to
+      // a |vecs|×65 row frame and ran TWO shuffles per iteration (a
+      // vec-keyed z reduction and an i-keyed gradient reduction) plus a
+      // broadcast join each — 2·Iters+1 shuffled passes. But both
+      // reductions are order-free EXACT DECIMAL sums, so they can fold
+      // per ROW over the feature array instead of per exploded cell:
+      //   z     = Σ_i round(w_i·x_i, 12) as DECIMAL(38,12)  (array fold)
+      //   g_i   = Σ_rows round(cw·(y−p)·x_i, 9) as DECIMAL(38,9)
+      //           (one agg with 65 sum columns — map-side partial agg,
+      //            65-cell final state)
+      // Decimal addition is exact at these magnitudes, so any grouping /
+      // order produces the bit-identical sum the oracle's GROUP BY gets —
+      // results unchanged (re-verified vs DuckDB at sf0.001/sf0.01).
+      // Each iteration is now ONE map-only job over the checkpointed
+      // feature frame with ZERO Exchange (before: 2 Exchange + 2
+      // BroadcastExchange per iteration); the frame itself is 65× smaller
+      // than the old exploded checkpoint. At 100 TB: one corpus pass per
+      // iteration, gradients tree-reduced as 65 decimal cells, model
+      // broadcast as plan literals.
       val base = Tables.dfSpread(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           when(col("label") === 0, 1.0).otherwise(0.0).as("y"),
           concat(array(lit(1.0)),
             transform(col("embedding"), e => round(e.cast("double"), 6))).as("xs"))
+        .localCheckpoint()
       val nnRow = base.agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("npos")).head()
       val (n, npos) = (nnRow.getLong(0), nnRow.getLong(1))
       val cw = when(col("y") === 1.0, lit(0.5 * n / npos))
         .otherwise(lit(0.5 * n / (n - npos)))
-      // Materialize the exploded feature frame ONCE: every gradient
-      // iteration makes two passes over it (z-pass + gradient-pass) plus a
-      // final scoring pass — 2*Iters+1 = 11 reads per fit. Without the
-      // checkpoint each pass would re-scan and re-explode the corpus; at
-      // 100 TB that is 11 redundant corpus reads. localCheckpoint stores
-      // the |vecs|×(dim+1) row frame executor-local and truncates lineage.
-      val ex = base
-        .select(col("vec_id"), col("label"), col("y"), cw.as("cw"),
-          posexplode(col("xs")).as(Seq("i", "x")))
-        .localCheckpoint()
-      def zFrame(w: Array[Double]): DataFrame = {
-        val wdf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "w")
-        ex.join(broadcast(wdf), "i")
-          .groupBy(col("vec_id"), col("label"), col("y"), col("cw"))
-          .agg(sum(round(col("w") * col("x"), 12).cast("decimal(38,12)"))
-            .cast("double").as("z"))
+      // z as a per-row index-ordered fold: round(w_i·x_i,12) terms summed
+      // at DECIMAL scale 12 — exact, so fold order is immaterial and the
+      // value equals the old exploded GROUP BY sum bit-for-bit. Operand
+      // precisions are sized so no addition exceeds DECIMAL(38): terms at
+      // (25,12), accumulator at (37,12) ⇒ each add is (38,12) exactly,
+      // explicitly re-cast to (37,12) (value-preserving at |z| « 1e25) —
+      // otherwise Spark's precision-loss rule would silently shave the
+      // scale to 11 and the fold would stop matching the oracle's SUM.
+      def zCol(w: Array[Double]): Column = {
+        val wlit = array(w.map(lit(_)): _*)
+        aggregate(
+          zip_with(col("xs"), wlit,
+            (x, wi) => round(wi * x, 12).cast("decimal(25,12)")),
+          lit(0).cast("decimal(37,12)"),
+          (acc, t) => (acc + t).cast("decimal(37,12)"))
+          .cast("double")
       }
       var w = Array.fill(Dim)(0.0)
       for (_ <- 1 to Iters) {
-        val p = zFrame(w)
-          .select(col("vec_id"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
-        val g = ex.join(p, "vec_id")
-          .groupBy(col("i"))
-          .agg(sum(round(col("cw") * (col("y") - col("p")) * col("x"), 9)
-            .cast("decimal(38,9)")).as("gs"))
-          .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
-        w = w.indices.map(j => w(j) + Lr * g(j) / n).toArray
+        // cw·(y−p) projected ONCE before the aggregate so each of the 65
+        // gradient columns is a minimal round(scale·x_i) expression —
+        // keeps the generated aggregate small and the per-iteration
+        // Catalyst pass cheap. NOTE round(cw·(y−p)·x_i, 9) factors as
+        // written: the product is formed left-to-right in both spellings,
+        // (cw·(y−p))·x_i, so the rounded term is bit-identical.
+        val scored = base.select(col("xs"),
+          (cw * (col("y") - (lit(1.0) / (lit(1.0) + exp(-zCol(w)))))).as("s"))
+        val gExprs = (0 until Dim).map(i =>
+          sum(round(col("s") * element_at(col("xs"), i + 1), 9)
+            .cast("decimal(38,9)")).as(s"g$i"))
+        val row = scored.agg(gExprs.head, gExprs.tail: _*).head()
+        w = w.indices.map(j =>
+          w(j) + Lr * row.getDecimal(j).doubleValue() / n).toArray
       }
-      zFrame(w)
-        .select(col("label"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+      base
+        .select(col("label"), (lit(1.0) / (lit(1.0) + exp(-zCol(w)))).as("p"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(round(col("p"), 9).cast("decimal(38,9)")).cast("double")

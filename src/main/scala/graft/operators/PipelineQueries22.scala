@@ -64,7 +64,13 @@ object PipelineQueries22 {
              CAST(count(DISTINCT rep) AS BIGINT) AS n_components,
              CAST((SELECT n FROM leaks) AS BIGINT) AS n_cross_pairs
       FROM asg GROUP BY split ORDER BY split""")) { (s, dir) =>
-      val pairs = PipelineQueries3.minhashPairs(s, dir)
+      // r18 OPTIMIZATION (guide §2.4/§5): `pairs` has TWO consumers in
+      // separate actions — the component loop (which checkpoints only its
+      // own exploded edge orientation) and the `leaks` join — so the full
+      // minhash candidate pipeline executed twice per run. One shared
+      // localCheckpoint materializes it once; results unchanged
+      // (re-verified vs DuckDB at sf0.001/sf0.01).
+      val pairs = PipelineQueries3.minhashPairs(s, dir).localCheckpoint()
       val comp = ConnectedComponents.minLabelPropagation(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .select(col("node").as("doc_id"), col("comp"))

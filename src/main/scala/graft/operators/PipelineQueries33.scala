@@ -96,48 +96,65 @@ object PipelineQueries33 {
              round(sqrt((SELECT n2 FROM n$Iters)) / (SELECT n FROM nn), 6) AS eigenvalue
       FROM pf GROUP BY label ORDER BY label"""
     }) { (s, dir) =>
-      import s.implicits._
-      val exr = Tables.dfSpread(s, dir, "embeddings")
+      // r18 OPTIMIZATION (guide §2.4/§1.2, same rewrite as p62): the old
+      // shape exploded the corpus to |vecs|×64 rows and ran two shuffles
+      // per power iteration (vec-keyed projection + i-keyed accumulation)
+      // plus broadcast joins. Both reductions are order-free EXACT DECIMAL
+      // sums, so they fold per ROW over the embedding array instead:
+      //   d   = Σ_i round(v_i·xc_i, 12)  (array fold, scale-12 decimal)
+      //   g_i = Σ_rows round(d·xc_i, 9)  (one agg, 64 sum columns)
+      // Each iteration is ONE map-only corpus job with zero Exchange
+      // (before: 2 Exchange + 2 BroadcastExchange); the checkpointed
+      // centered frame is 64× fewer rows. The 64-cell g row is
+      // re-exploded to a tiny frame so the norm and the rescale keep the
+      // OLD sum/round expressions verbatim (engine-side rounding — v's
+      // grid must come from the same round() kernel the oracle uses).
+      // Results re-verified hash-identical vs DuckDB at sf0.001/sf0.01.
+      val exs = Tables.dfSpread(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
-          posexplode(transform(col("embedding"), e => round(e.cast("double"), 6)))
-            .as(Seq("i", "x")))
-      val m = exr.groupBy(col("i"))
-        .agg(round(sum(col("x").cast("decimal(38,6)")).cast("double") / count(lit(1)), 9)
-          .as("m"))
-      // Materialize the centered frame ONCE: each of the 3 iterations makes
-      // two passes (projection + accumulation) plus the final scoring pass —
-      // 7 reads. Without the checkpoint every pass re-scans and re-explodes
-      // the corpus; at 100 TB that is 7 redundant corpus reads.
-      val ex = exr.join(broadcast(m), "i")
-        .select(col("vec_id"), col("label"), col("i"),
-          round(col("x") - col("m"), 9).as("xc"))
+          transform(col("embedding"), e => round(e.cast("double"), 6)).as("xs"))
         .localCheckpoint()
-      var v: Seq[(Int, Double)] = (0 until Dim).map(i => (i, 1.0))
+      // per-dim means, engine-side rounding: identical expression to the
+      // old groupBy(i) per-cell mean, as 64 agg columns over one pass
+      val mExprs = (0 until Dim).map(i =>
+        round(sum(element_at(col("xs"), i + 1).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)), 9).as(s"m$i"))
+      val mRow = exs.agg(mExprs.head, mExprs.tail: _*).head()
+      val mlit = array((0 until Dim).map(i => lit(mRow.getDouble(i))): _*)
+      val ex = exs.select(col("vec_id"), col("label"),
+        zip_with(col("xs"), mlit, (x, m) => round(x - m, 9)).as("xc"))
+        .localCheckpoint()
+      // index-ordered exact fold (operand precisions sized so no addition
+      // hits the DECIMAL(38) cap — see p62 zCol for the rationale)
+      def dCol(v: Array[Double]): Column = {
+        val vlit = array(v.map(lit(_)): _*)
+        aggregate(
+          zip_with(col("xc"), vlit,
+            (x, wi) => round(wi * x, 12).cast("decimal(25,12)")),
+          lit(0).cast("decimal(37,12)"),
+          (acc, t) => (acc + t).cast("decimal(37,12)"))
+          .cast("double")
+      }
+      var v: Array[Double] = Array.fill(Dim)(1.0)
       var n2Last = 0.0
       for (_ <- 1 to Iters) {
-        val vdf = v.toDF("i", "w")
-        val d = ex.join(broadcast(vdf), "i")
-          .groupBy(col("vec_id"), col("label"))
-          .agg(sum(round(col("w") * col("xc"), 12).cast("decimal(38,12)"))
-            .cast("double").as("d"))
-        val g = ex.join(d.select(col("vec_id"), col("d")), "vec_id")
-          .groupBy(col("i"))
-          .agg(sum(round(col("d") * col("xc"), 9).cast("decimal(38,9)"))
-            .cast("double").as("g"))
-          .localCheckpoint() // 64 cells; feeds both the norm and the rescale
+        val scored = ex.select(col("xc"), dCol(v).as("d"))
+        val gExprs = (0 until Dim).map(i =>
+          sum(round(col("d") * element_at(col("xc"), i + 1), 9)
+            .cast("decimal(38,9)")).cast("double").as(s"g$i"))
+        val gRow = scored.agg(gExprs.head, gExprs.tail: _*)
+          .localCheckpoint() // one corpus job; norm + rescale read 64 cells
+        val g = gRow.select(posexplode(
+          array((0 until Dim).map(i => col(s"g$i")): _*)).as(Seq("i", "g")))
         val n2 = g.agg(sum(round(col("g") * col("g"), 12).cast("decimal(38,12)"))
           .cast("double").as("n2"))
         n2Last = n2.head().getDouble(0)
         // engine-side rounding (never driver-side): v's grid must come from
         // the same round() kernel the oracle uses
         v = g.select(col("i"), round(col("g") / sqrt(lit(n2Last)), 9).as("w"))
-          .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+          .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
       }
-      val vdf = v.toDF("i", "w")
-      val pf = ex.join(broadcast(vdf), "i")
-        .groupBy(col("vec_id"), col("label"))
-        .agg(sum(round(col("w") * col("xc"), 12).cast("decimal(38,12)"))
-          .cast("double").as("p"))
+      val pf = ex.select(col("label"), dCol(v).as("p"))
         .localCheckpoint() // consumed by the per-label rollup AND the n count
       val nn = pf.agg(count(lit(1)).as("n"))
       val eig = nn.select(round(sqrt(lit(n2Last)) / col("n"), 6).as("eigenvalue"))

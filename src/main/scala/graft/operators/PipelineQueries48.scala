@@ -109,9 +109,14 @@ object PipelineQueries48 {
       val qs = (1 to 9).map(i => i / 10.0)
       val q = ExactPercentile.percentiles(a, "arm", col("value"),
         qs.map(f => f -> s"p${(f * 10).toInt}"))
-      val long = qs.map { f =>
-        q.select(col("arm"), lit(f).as("q"), col(s"p${(f * 10).toInt}").as("v"))
-      }.reduce(_.unionAll(_))
+      // r18 OPTIMIZATION (guide §2.4): the old 9-way UNION of projections
+      // referenced the whole ExactPercentile lineage once per branch; one
+      // explode unpivots the 2-row wide frame in a single consumer —
+      // identical (arm, q, v) rows, one execution of the quantile pipeline.
+      // Results re-verified vs DuckDB at sf0.001/sf0.01.
+      val long = q.select(col("arm"), explode(array(qs.map(f =>
+          struct(lit(f).as("q"), col(s"p${(f * 10).toInt}").as("v"))): _*)).as("x"))
+        .select(col("arm"), col("x.q").as("q"), col("x.v").as("v"))
       val t = long.filter(col("arm") === 1).select(col("q"), col("v").as("tv"))
       val c = long.filter(col("arm") === 0).select(col("q"), col("v").as("cv"))
       t.join(c, "q")

@@ -423,20 +423,37 @@ object PipelineQueries53 {
              round(CAST(d.dcg5 AS DOUBLE) / CAST(i.idcg5 AS DOUBLE), 6)
                AS ndcg5
       FROM dcg d JOIN idcg i ON d.term = i.term ORDER BY d.term""")) { (s, dir) =>
-      val tok = Tables.dfSpread(s, dir, "documents")
+      // r18 OPTIMIZATION (guide §2.3/§2.4): the old shape exploded the
+      // token stream THREE times (dl / probes / tf branches — separate
+      // exchanges, so ReuseExchange cannot share them). Now: dl is a
+      // map-only array expression (no explode, no shuffle; the >0 filter
+      // reproduces the old groupBy's implicit drop of zero-token docs),
+      // and ONE explode feeds one (tok, doc_id)-keyed partial-agg shuffle
+      // whose tiny re-aggregation yields the probe top-6 — tf is a
+      // broadcast-filtered view of the same frame. Identical counts; rows
+      // re-verified vs DuckDB at sf0.001/sf0.01.
+      val docsTok = Tables.dfSpread(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tks"))
+      val dl = docsTok
         .select(col("doc_id"),
-          explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .filter(col("tok") =!= "")
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          size(filter(col("tks"), t => t =!= "")).cast("long").as("dl"))
+        .filter(col("dl") > 0)
       val avgdl = dl.agg(
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      // probes + tf reference the IDENTICAL exchange subtree, so runtime
+      // ReuseExchange executes the tokenize + (tok,doc) shuffle once (the
+      // p77-measured pattern — no checkpoint, nothing materialized)
+      val tc = docsTok
+        .select(col("doc_id"), explode(col("tks")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
       // distributed top-k (TakeOrderedAndProject), never a global window
-      val probes = tok.filter(length(col("tok")) >= 4)
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val probes = tc.filter(length(col("tok")) >= 4)
+        .groupBy(col("tok")).agg(sum(col("c")).as("c"))
         .orderBy(col("c").desc, col("tok")).limit(6)
         .select(col("tok").as("term"))
-      val tf = tok.join(broadcast(probes), col("tok") === col("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val tf = tc.join(broadcast(probes), col("tok") === col("term"))
+        .select(col("term"), col("doc_id"), col("c").as("tf"))
       val scored = tf.join(dl, "doc_id").crossJoin(broadcast(avgdl))
         .select(col("term"), col("doc_id"), least(col("tf"), lit(5)).as("rel"),
           (col("tf").cast("double") * 2.2 /

@@ -292,22 +292,34 @@ object PipelineQueries59 {
              round((SELECT CAST(sum(CAST(round(ap10, 9) AS DECIMAL(38,9)))
                AS DOUBLE) / count(*) FROM ap), 6) AS map10
       FROM ap ORDER BY term""")) { (s, dir) =>
-      val tok = Tables.dfSpread(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-      val tokNe = tok.filter(col("tok") =!= "")
-      val dl = tokNe.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val avgdl = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      // r18 OPTIMIZATION (guide §2.3/§2.4, the p216 prologue rewrite
+      // verbatim): dl is a map-only array expression (the >0 filter
+      // reproduces the old groupBy's implicit drop of zero-token docs) and
+      // carries n_chars so the old third documents scan disappears; ONE
+      // explode feeds one (tok, doc_id)-keyed partial-agg shuffle shared
+      // by probes and tf through runtime ReuseExchange. Identical counts;
+      // rows re-verified vs DuckDB at sf0.001/sf0.01.
+      val docsTok = Tables.dfSpread(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          split(lower(col("text")), "\\s+").as("tks"))
+      val dlnc = docsTok
+        .select(col("doc_id"), col("n_chars"),
+          size(filter(col("tks"), t => t =!= "")).cast("long").as("dl"))
+        .filter(col("dl") > 0)
+      val avgdl = dlnc.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tc = docsTok
+        .select(col("doc_id"), explode(col("tks")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
       // distributed top-k (TakeOrderedAndProject), never a global window —
       // the p216 probe-selection pattern, verbatim
-      val probes = tokNe.filter(length(col("tok")) >= 4)
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val probes = tc.filter(length(col("tok")) >= 4)
+        .groupBy(col("tok")).agg(sum(col("c")).as("c"))
         .orderBy(col("c").desc, col("tok")).limit(6)
         .select(col("tok").as("term"))
-      val tf = tok.join(broadcast(probes), col("tok") === col("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      val nc = Tables.dfSpread(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
-      val scored = tf.join(dl, "doc_id").join(nc, "doc_id")
+      val tf = tc.join(broadcast(probes), col("tok") === col("term"))
+        .select(col("term"), col("doc_id"), col("c").as("tf"))
+      val scored = tf.join(dlnc, "doc_id")
         .crossJoin(broadcast(avgdl))
         .select(col("term"), col("doc_id"),
           when(col("n_chars") >= 400, 1).otherwise(0).as("rel"),

@@ -435,8 +435,16 @@ object PipelineQueries64 {
       val cs = e.select(col("d"), sum(col("e")).over(wd).cast("double").as("st"))
       val s2 = cs.agg(sum(round(col("st") * col("st"), 9)
         .cast("decimal(38,9)")).cast("double").as("ss"))
-      val b = e.select(col("e").as("e1"), col("rn").as("brn"))
-      val lags = e.join(b, (col("rn") - col("brn")).isin(1, 2))
+      // r18 OPTIMIZATION (guide §3.1): `rn - brn IN (1, 2)` is a non-equi
+      // predicate, so the planner emitted a CartesianProduct over the day
+      // frame (caught by the regenerated PLANS.md row — the only CARTESIAN
+      // in the 433-row audit). Exploding each row's two target positions
+      // turns it into an equi-join on rn: identical pair set (rn − brn ∈
+      // {1,2}), hash join instead of |days|² comparisons. Results
+      // re-verified vs DuckDB at sf0.001/sf0.01.
+      val b = e.select(col("e").as("e1"), col("rn").as("brn"),
+        explode(array(col("rn") + 1, col("rn") + 2)).as("arn"))
+      val lags = e.join(b, col("rn") === col("arn"))
         .select(col("e").as("e0"), col("e1"), (col("rn") - col("brn")).as("lag"))
       val gam = lags.groupBy(col("lag"))
         .agg(sum(round(col("e0").cast("double") * col("e1").cast("double"), 9)
