@@ -163,6 +163,101 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** |a ∩ b| for two ASCENDING-SORTED string arrays with distinct, non-null
+    * elements — a merge scan (O(n+m) binary UTF8 comparisons, zero
+    * allocation) replacing `size(array_intersect(a, b))`, whose per-call
+    * hash-set build dominated the prefix-filter verify stage (r18
+    * measurement: ~2.5 s over 310k candidate pairs at sf0.1). Equal to the
+    * builtin on distinct inputs by definition of set intersection;
+    * whole-stage-codegen'd. */
+  case class SortedIntersectCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements(); val m = y.numElements()
+      var i = 0; var j = 0; var c = 0L
+      while (i < n && j < m) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1L; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+        s"""
+        int $n = $a.numElements(); int $m = $b.numElements();
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $n && $j < $m) {
+          int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          if ($cmp == 0) { $c++; $i++; $j++; }
+          else if ($cmp < 0) $i++; else $j++;
+        }
+        ${ev.value} = $c;
+      """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Σ aVals[k] over k with aIds[k] ∈ bIds, for ASCENDING-SORTED distinct
+    * string id arrays with aVals index-aligned to aIds — the weighted twin
+    * of [[SortedIntersectCountExpr]], replacing the per-pair
+    * `map_from_arrays` + interpreted `aggregate` fold in p192's verify
+    * stage. Long sums are exact, so accumulation order is immaterial. */
+  case class SortedIntersectWSumExpr(first: Expression, second: Expression,
+      third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_wsum"
+
+    override protected def nullSafeEval(a: Any, v: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val w = v.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements(); val m = y.numElements()
+      var i = 0; var j = 0; var s = 0L
+      while (i < n && j < m) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { s += w.getLong(i); i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, v, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val s = ctx.freshName("s"); val cmp = ctx.freshName("cmp")
+        s"""
+        int $n = $a.numElements(); int $m = $b.numElements();
+        int $i = 0; int $j = 0; long $s = 0L;
+        while ($i < $n && $j < $m) {
+          int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          if ($cmp == 0) { $s += $v.getLong($i); $i++; $j++; }
+          else if ($cmp < 0) $i++; else $j++;
+        }
+        ${ev.value} = $s;
+      """
+      })
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   // Column-API wrappers
   def cosineSimilarity(a: Column, b: Column): Column =
     Interop.column(CosineSimilarityExpr(
@@ -177,4 +272,12 @@ object NativeExpressions {
 
   def simhash60(tokens: Column): Column =
     Interop.column(SimHashExpr(Interop.expression(tokens), 60))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Interop.column(SortedIntersectCountExpr(
+      Interop.expression(a), Interop.expression(b)))
+
+  def sortedIntersectWSum(aIds: Column, aVals: Column, bIds: Column): Column =
+    Interop.column(SortedIntersectWSumExpr(Interop.expression(aIds),
+      Interop.expression(aVals), Interop.expression(bIds)))
 }

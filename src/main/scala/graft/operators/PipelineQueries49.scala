@@ -126,14 +126,23 @@ object PipelineQueries49 {
       ORDER BY doc_a, doc_b""")) { (s, dir) =>
       // One shuffle to per-doc state: each document's rare shingles sorted
       // in the global rarity order, as ONE array row — the prefix is a
-      // slice, candidate verification is array_intersect on the pair, and
+      // slice, candidate verification is a merge scan on the pair, and
       // nothing ever re-explodes to per-shingle rows after this point.
+      //
+      // r18 OPTIMIZATION (guide §1.1/§4, measured stage decomposition in
+      // BENCH_NOTES): alongside the rarity-ordered `set` (prefix slicing),
+      // carry `sset` — the same shingles sorted lexicographically — so the
+      // per-candidate intersection count is a zero-allocation merge scan
+      // (NativeExpressions.sortedIntersectCount, codegen) instead of
+      // array_intersect's per-pair hash-set build. Identical count on
+      // distinct inputs.
       val docsets = rareDf(s, dir).groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("n_docs"), col("shingle"))))
           .as("ranked"))
         .select(col("doc_id"),
           transform(col("ranked"), r => r.getField("shingle")).as("set"),
           size(col("ranked")).as("n"))
+        .withColumn("sset", sort_array(col("set")))
       // prefix length n − ⌈t·n⌉ + 1 at t = 0.5 ⇒ ⌊n/2⌋ + 1: the rarest half
       val pref = docsets.select(col("doc_id"), col("n"),
         explode(slice(col("set"), lit(1), (col("n") / 2).cast("int") + 1))
@@ -148,12 +157,22 @@ object PipelineQueries49 {
             && col("pb.n") * 2 >= col("pa.n"))
         .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
         .distinct()
+        // r18 OPTIMIZATION (guide §2.5, measured: the distinct's AQE-
+        // coalesced output is 2 partitions at sf0.1 — byte-sized targets
+        // cannot see that each slim pair row fans out into two ~50-element
+        // arrays downstream — so the whole verify stage ran on 2 of 32
+        // cores, 2.5 s -> 0.6 s when spread). Round-robin repartition of
+        // the SLIM pair frame (16 bytes/row) to the session parallelism;
+        // at cluster scale this is one cheap exchange of keys ahead of the
+        // dominant verify stage.
+        .repartition(s.sparkContext.defaultParallelism)
       val verified = cand
-        .join(docsets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+        .join(docsets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
           col("n").as("na")), "doc_a")
-        .join(docsets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+        .join(docsets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
           col("n").as("nb")), "doc_b")
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("i",
+          graft.functions.NativeExpressions.sortedIntersectCount(col("sa"), col("sb")))
       val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
       verified
         .filter(jac >= 0.5)
@@ -216,13 +235,22 @@ object PipelineQueries49 {
         .cast("decimal(38,9)")
       val rn = base.select(col("doc_id"), col("shingle"), col("n_docs"),
         round(idf.cast("double") * 1e9, 0).cast("long").as("idf_n"))
-      // same one-shuffle per-doc-array shape as p191
+      // same one-shuffle per-doc-array shape as p191.
+      // r18 OPTIMIZATION (guide §4, the p191 merge-scan change): `wp` is
+      // the (shingle, idf_n) pairs re-sorted lexicographically by shingle
+      // (unique per doc), so the verify stage's shared-mass sum is a
+      // zero-allocation merge scan (sortedIntersectWSum, codegen) instead
+      // of building a per-pair hash MAP + interpreted aggregate fold.
+      // Long sums of the same matched idf_n values — identical result.
       val docsets = rn.groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("n_docs"), col("shingle"),
           col("idf_n")))).as("ranked"))
         .select(col("doc_id"),
           transform(col("ranked"), r => r.getField("shingle")).as("set"),
           transform(col("ranked"), r => r.getField("idf_n")).as("idfs"))
+        .withColumn("wp", sort_array(arrays_zip(col("set"), col("idfs"))))
+        .withColumn("sset", col("wp.set"))
+        .withColumn("svals", col("wp.idfs"))
         .withColumn("wn", aggregate(col("idfs"), lit(0L), (a, x) => a + x))
         // weighted prefix: keep positions while the idf mass BEFORE them
         // satisfies 5·cum ≤ 3·total (the exact-integer spelling of
@@ -246,14 +274,17 @@ object PipelineQueries49 {
             && col("pb.wn") * 5 >= col("pa.wn") * 2)
         .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
         .distinct()
-      val sideA = docsets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
-        col("idfs").as("ia"), col("wn").as("wa_n"))
-      val sideB = docsets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+        // spread the slim pair frame over the session cores before the
+        // verify stage — see p191 (AQE's byte-sized coalescing left the
+        // dominant stage on 2 of 32 cores)
+        .repartition(s.sparkContext.defaultParallelism)
+      val sideA = docsets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
+        col("svals").as("va"), col("wn").as("wa_n"))
+      val sideB = docsets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
         col("wn").as("wb_n"))
       val verified = cand.join(sideA, "doc_a").join(sideB, "doc_b")
-        .withColumn("ma", map_from_arrays(col("sa"), col("ia")))
-        .withColumn("shared_n", aggregate(array_intersect(col("sa"), col("sb")),
-          lit(0L), (a, x) => a + element_at(col("ma"), x)))
+        .withColumn("shared_n", graft.functions.NativeExpressions
+          .sortedIntersectWSum(col("sa"), col("va"), col("sb")))
       val sharedD = col("shared_n").cast("double") / 1e9
       val wjac = sharedD /
         (col("wa_n").cast("double") / 1e9 + col("wb_n").cast("double") / 1e9 -
