@@ -451,8 +451,11 @@ object PipelineQueries64 {
           .cast("decimal(38,9)")).cast("double").as("g"))
       val g0 = e.agg(sum(round(col("e").cast("double") * col("e").cast("double"),
         9).cast("decimal(38,9)")).cast("double").as("g"))
-      val g1 = gam.filter(col("lag") === 1).select(col("g").as("gl1"))
-      val g2 = gam.filter(col("lag") === 2).select(col("g").as("gl2"))
+      // broadcast hints: g1/g2 are 1-row by construction (one aggregate row
+      // per lag), but the planner's estimate after filter is unknown and it
+      // chose CartesianProduct (PLANS.md flag) — hint the tiny sides
+      val g1 = broadcast(gam.filter(col("lag") === 1).select(col("g").as("gl1")))
+      val g2 = broadcast(gam.filter(col("lag") === 2).select(col("g").as("gl2")))
       val lrv = g0.crossJoin(g1).crossJoin(g2).crossJoin(broadcast(m))
         .select(((col("g") + lit(2) * (lit(2.0) / 3) * col("gl1")
           + lit(2) * (lit(1.0) / 3) * col("gl2")) / col("n")).as("v"))
