@@ -135,6 +135,12 @@ object PipelineQueries4 {
         .select(explode(col("ids")).as("vec_a"), col("ids"))
         .select(col("vec_a"), explode(filter(col("ids"), x => x > col("vec_a"))).as("vec_b"))
         .distinct()
+        // r18 OPTIMIZATION (guide §2.5, the p191 finding): the distinct's
+        // AQE-coalesced output is byte-tiny, so the cosine-verify stage —
+        // where each slim pair row fans out into two 64-dim vectors — ran
+        // on a couple of cores; spread the pair frame to session
+        // parallelism first (results unchanged, re-verified vs oracle)
+        .repartition(s.sparkContext.defaultParallelism)
       val x = e.select(col("vec_id").as("vec_a"), col("embedding").as("xv"))
       val y = e.select(col("vec_id").as("vec_b"), col("embedding").as("yv"))
       val cos = Functions.cosineSimilarity(col("xv"), col("yv"))

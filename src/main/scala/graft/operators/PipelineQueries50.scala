@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -90,25 +91,50 @@ object PipelineQueries50 {
       SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
              round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_sil
       FROM sil GROUP BY label ORDER BY label""")) { (s, dir) =>
+      // r18 OPTIMIZATION (guide §2.4, the p62 rewrite class): centroids are
+      // |labels|×dims of MODEL state — collect them to the driver (same
+      // discipline as p62's 65-cell gradients) and make the whole distance
+      // pass MAP-ONLY per vector: dd(v,c) folds over the embedding array
+      // against a literal centroid. The old shape exploded the corpus to a
+      // (vec, dim) frame, shuffled it twice (centroid agg + per-(vec,
+      // clabel) distance reduce) and fanned it ×|labels| through a join.
+      // All reductions are exact DECIMAL sums (order-free) and the mean is
+      // the same IEEE double division, so results are bit-identical
+      // (re-verified vs DuckDB at sf0.001/sf0.01).
       val e = Tables.df(s, dir, "embeddings")
-      val vals = e.select(col("label"), col("vec_id"),
-          posexplode(col("embedding")))
-        .select(col("label"), col("vec_id"), (col("pos") + 1).as("dim"),
-          col("col").cast("double").as("val"))
-      val cent = vals.groupBy(col("label").as("clabel"), col("dim"))
-        .agg((sum(round(col("val"), 9).cast("decimal(38,9)")).cast("double") /
-          count(lit(1))).as("m"))
-      // centroid table is |labels| x dims — broadcast; per-vector distance
-      // work is map-only after the one corpus-sized (vec, dim) shuffle
-      val dist = vals.join(broadcast(cent), Seq("dim"))
-        .groupBy(col("vec_id"), col("label"), col("clabel"))
-        .agg(sqrt(sum(round((col("val") - col("m")) * (col("val") - col("m")), 9)
-          .cast("decimal(38,9)")).cast("double")).as("dd"))
-      val ab = dist.groupBy(col("vec_id"), col("label")).agg(
-        min(when(col("clabel") === col("label"), col("dd"))).as("a"),
-        min(when(col("clabel") =!= col("label"), col("dd"))).as("b"))
-      val sil = ab.select(col("label"),
-        round((col("b") - col("a")) / greatest(col("a"), col("b")), 9)
+        .select(col("label"), col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("xs"))
+        .localCheckpoint() // two passes: centroid agg + distance scan
+      val dim = e.select(size(col("xs")).as("d")).head().getInt(0)
+      val sumExprs = (0 until dim).map(i =>
+        sum(round(element_at(col("xs"), i + 1), 9).cast("decimal(38,9)"))
+          .as(s"s$i"))
+      val centRows = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"), sumExprs: _*)
+        .collect()
+      // m = DECIMAL sum → double, / n: the same cast-then-divide the old
+      // engine-side centroid projection performed
+      val cents: Seq[(Int, Array[Double])] = centRows.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getInt(0),
+          (0 until dim).map(i => r.getDecimal(i + 2).doubleValue() / n).toArray)
+      }.toSeq.sortBy(_._1)
+      def ddCol(m: Array[Double]): Column = sqrt(aggregate(
+        zip_with(col("xs"), array(m.map(lit(_)): _*),
+          (x, mm) => round((x - mm) * (x - mm), 9).cast("decimal(25,9)")),
+        lit(0).cast("decimal(37,9)"),
+        (acc, t) => (acc + t).cast("decimal(37,9)")).cast("double"))
+      val withDd = e.select(col("label") +:
+        cents.zipWithIndex.map { case ((_, m), i) => ddCol(m).as(s"dd$i") }: _*)
+      val aCol = cents.zipWithIndex
+        .map { case ((l, _), i) => when(col("label") === lit(l), col(s"dd$i")) }
+        .reduce(coalesce(_, _))
+      val bCands = cents.zipWithIndex
+        .map { case ((l, _), i) => when(col("label") =!= lit(l), col(s"dd$i")) }
+      val bCol =
+        if (bCands.size == 1) lit(null).cast("double") else least(bCands: _*)
+      val sil = withDd.select(col("label"),
+        round((bCol - aCol) / greatest(aCol, bCol), 9)
           .cast("decimal(38,9)").as("s"))
       sil.groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
