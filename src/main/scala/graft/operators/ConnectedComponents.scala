@@ -36,8 +36,16 @@ object ConnectedComponents {
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // r18 OPTIMIZATION (guide §1.2): fuse round 1 into initialization —
+    // labels start at min(node, min direct neighbor), which is exactly the
+    // state the old comp=node init reached after its first propagation
+    // round, for the same shuffle the old distinct() paid. One full round
+    // (join + agg + checkpoint + convergence count) disappears from every
+    // component query; the fixed point is unchanged (same monotone map,
+    // same lattice), pinned by ConnectedComponentsSpec.
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("comp"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0

@@ -19,7 +19,10 @@ ADD_OPENS=(
 )
 OPENS_ARGS=()
 for p in "${ADD_OPENS[@]}"; do OPENS_ARGS+=(--add-opens "$p=ALL-UNNAMED"); done
+# GRAFT_JAVA_OPTS: optional extra -D flags (e.g. spark.* conf A/B testing)
+EXTRA=(${GRAFT_JAVA_OPTS:-})
 exec java "${OPENS_ARGS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-8g}" \
+  ${EXTRA[@]+"${EXTRA[@]}"} \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"
