@@ -171,9 +171,18 @@ object NativeExpressions {
     * builtin on distinct inputs by definition of set intersection;
     * whole-stage-codegen'd. */
   case class SortedIntersectCountExpr(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     override def dataType: DataType = LongType
     override def prettyName: String = "sorted_intersect_count"
+    // r19 (ADVICE #1): pin the input contract at analysis time — both sides
+    // ArrayType(StringType). Sortedness/distinctness/non-null-element
+    // preconditions stay asserted at the call sites (every caller feeds
+    // sort_array over array_distinct/collect_list-of-distinct outputs);
+    // violating THOSE silently under-counts, violating the types now fails
+    // analysis instead of NPE-ing in UTF8String.compareTo at runtime.
+    override def inputTypes: Seq[Interop.AbstractType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -217,9 +226,15 @@ object NativeExpressions {
     * stage. Long sums are exact, so accumulation order is immaterial. */
   case class SortedIntersectWSumExpr(first: Expression, second: Expression,
       third: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     override def dataType: DataType = LongType
     override def prettyName: String = "sorted_intersect_wsum"
+    // r19 (ADVICE #1): ids are sorted-distinct string arrays, weights a
+    // LONG array index-aligned to the first — the getLong(i) read below is
+    // now type-checked at analysis instead of mis-reading at runtime.
+    override def inputTypes: Seq[Interop.AbstractType] =
+      Seq(ArrayType(StringType), ArrayType(LongType), ArrayType(StringType))
 
     override protected def nullSafeEval(a: Any, v: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

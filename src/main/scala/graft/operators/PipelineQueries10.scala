@@ -123,6 +123,11 @@ object PipelineQueries10 {
       val bl = sim.select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(Subs - 1))).as("b"))
         .withColumn("bv", expr("shiftright(h, b * 8) & 255"))
+        // r19 OPTIMIZATION (guide §2.5): the band-bucket exchange is
+        // byte-tiny, so AQE coalesced the banded self-join + pair fan-out
+        // + distinct stage onto 1-2 of 32 cores; pin it to session
+        // parallelism (both self-join sides reuse the one exchange).
+        .repartition(s.sparkContext.defaultParallelism, col("b"), col("bv"))
       val la = bl.select(col("doc_id").as("da"), col("h").as("ha"), col("b"), col("bv"))
       val lb = bl.select(col("doc_id").as("db"), col("h").as("hb"), col("b"), col("bv"))
       val cand = la.join(lb, Seq("b", "bv")).filter(col("da") < col("db"))
@@ -136,8 +141,13 @@ object PipelineQueries10 {
         .select(col("doc_id"),
           explode(array_distinct(Functions.wordShingles(col("tk"), 3))).as("g"))
       val dcnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-      val sa = sh.select(col("doc_id").as("da"), col("g"))
-      val sb = sh.select(col("doc_id").as("db"), col("g"))
+      // r19 OPTIMIZATION (guide §2.5): pin the gram-keyed exchange feeding
+      // the unblocked truth self-join — same AQE collapse as the p17-class
+      // prologues; one exchange, reused by both sides. Bounded by the
+      // TruthTier guard above.
+      val shG = sh.repartition(s.sparkContext.defaultParallelism, col("g"))
+      val sa = shG.select(col("doc_id").as("da"), col("g"))
+      val sb = shG.select(col("doc_id").as("db"), col("g"))
       val pr = sa.join(sb, Seq("g")).filter(col("da") < col("db"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       // dcnt (per-doc) and truth (true-PAIR set) are corpus-sized — no

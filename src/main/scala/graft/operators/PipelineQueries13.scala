@@ -216,7 +216,16 @@ object PipelineQueries13 {
       // than the old exploded checkpoint. At 100 TB: one corpus pass per
       // iteration, gradients tree-reduced as 65 decimal cells, model
       // broadcast as plan literals.
+      // r19 (ADVICE #2): the per-row array folds rely on non-null,
+      // uniform-width embeddings — drop nulls (the old exploded shape
+      // dropped them implicitly) and assert the width instead of assuming
+      // it (assert_true is dead code on well-formed data; re-verified
+      // hash-identical vs the oracle).
       val base = Tables.dfSpread(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .filter(assert_true(size(col("embedding")) === Dim - 1,
+          concat(lit(s"p62: embedding width != ${Dim - 1}: "),
+            size(col("embedding")).cast("string"))).isNull)
         .select(col("vec_id"), col("label"),
           when(col("label") === 0, 1.0).otherwise(0.0).as("y"),
           concat(array(lit(1.0)),

@@ -217,10 +217,15 @@ object PipelineQueries16 {
       // the broadcast boundary; these don't.
       val sh = docs.select(col("doc_id"), explode(shArr).as("shingle"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      // r19 OPTIMIZATION (guide §2.5): pin the shingle-keyed exchange under
+      // the unblocked truth self-join (AQE coalesced the fan-out stage onto
+      // 1-2 of 32 cores — the p17-class finding); one exchange, both sides
+      // reuse it. Bounded by the TruthTier guard above.
+      val shG = sh.repartition(s.sparkContext.defaultParallelism, col("shingle"))
       // shared-shingle candidate superset: every banded config's pair set
       // is a subset, so ONE truth join covers all three
-      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      val inter = shG.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(shG.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
       val sig = docs.select(col("doc_id"),

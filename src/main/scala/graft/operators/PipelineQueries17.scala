@@ -139,6 +139,10 @@ object PipelineQueries17 {
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           toks(col("text")), 3))).as("shingle"))
+        // r19 OPTIMIZATION (guide §2.5): pin the sh-by-shingle exchange to
+        // session parallelism — see the p17 note (same collapsed join-back
+        // + self-join fan-out stage, same bounded-input posture).
+        .repartition(s.sparkContext.defaultParallelism, col("shingle"))
       val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
       val cap = docs.agg(greatest(lit(2L),
         (count(lit(1)) * 0.02).cast("bigint")).as("cap"))

@@ -110,7 +110,14 @@ object PipelineQueries33 {
       // OLD sum/round expressions verbatim (engine-side rounding — v's
       // grid must come from the same round() kernel the oracle uses).
       // Results re-verified hash-identical vs DuckDB at sf0.001/sf0.01.
+      // r19 (ADVICE #2): enforce the non-null, uniform-width invariant the
+      // element_at folds rely on (see p62 note; assert_true is dead code on
+      // well-formed data — re-verified hash-identical vs the oracle).
       val exs = Tables.dfSpread(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .filter(assert_true(size(col("embedding")) === Dim,
+          concat(lit(s"p125: embedding width != $Dim: "),
+            size(col("embedding")).cast("string"))).isNull)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), e => round(e.cast("double"), 6)).as("xs"))
         .localCheckpoint()

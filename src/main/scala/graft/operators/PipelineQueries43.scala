@@ -419,6 +419,10 @@ object PipelineQueries43 {
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           toks(col("text")), 3))).as("shingle"))
+        // r19 OPTIMIZATION (guide §2.5): pin the sh-by-shingle exchange to
+        // session parallelism — see the p17 note (same collapsed join-back
+        // + self-join fan-out stage, same bounded-input posture).
+        .repartition(s.sparkContext.defaultParallelism, col("shingle"))
       val nDocs = docs.agg(count(lit(1)).as("corpus_n"))
       // df via groupBy + join-back, never a window over the shingle key
       // (p17's skew note applies verbatim)

@@ -101,11 +101,28 @@ object PipelineQueries50 {
       // All reductions are exact DECIMAL sums (order-free) and the mean is
       // the same IEEE double division, so results are bit-identical
       // (re-verified vs DuckDB at sf0.001/sf0.01).
-      val e = Tables.df(s, dir, "embeddings")
+      // r19 (ADVICE #2/#3): the element_at fold relies on every row carrying
+      // a non-null, uniform-width embedding — enforce it instead of assuming
+      // it (a null array would zero out of the old exploded shape but feed
+      // nulls into the fold), and guard the empty table (head() on an empty
+      // frame threw where the old fully-engine-side shape returned empty).
+      val e0 = Tables.df(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
         .select(col("label"), col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("xs"))
         .localCheckpoint() // two passes: centroid agg + distance scan
-      val dim = e.select(size(col("xs")).as("d")).head().getInt(0)
+      val dimRow = e0.select(size(col("xs")).as("d")).limit(1).collect().headOption
+      if (dimRow.isEmpty) {
+        e0.select(col("label"), lit(0L).as("n_vecs"),
+          lit(null).cast("double").as("mean_sil")).limit(0).orderBy(col("label"))
+      } else {
+      val dim = dimRow.get.getInt(0)
+      // uniform-width assertion: a ragged corpus must fail loudly, not
+      // silently mis-fold (assert_true is dead code on well-formed data —
+      // verified hash-identical vs the oracle at both test SFs)
+      val e = e0.filter(assert_true(size(col("xs")) === dim,
+        concat(lit("p193: ragged embedding width, expected "), lit(dim),
+          lit(", got "), size(col("xs")).cast("string"))).isNull)
       val sumExprs = (0 until dim).map(i =>
         sum(round(element_at(col("xs"), i + 1), 9).cast("decimal(38,9)"))
           .as(s"s$i"))
@@ -140,6 +157,7 @@ object PipelineQueries50 {
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(col("s")).cast("double") / count(lit(1)), 6).as("mean_sil"))
         .orderBy(col("label"))
+      }
     },
 
     // --------------------- split-conformal coverage (p194)

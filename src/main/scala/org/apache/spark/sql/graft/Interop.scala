@@ -16,4 +16,8 @@ object Interop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter.apply(c.node)
+  /** `AbstractDataType` is private[sql]; re-export the alias so graft
+    * expressions outside the spark namespace can declare `inputTypes`
+    * (ExpectsInputTypes) — r19 ADVICE #1. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
