@@ -108,16 +108,6 @@ object PipelineQueries2 {
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(graft.Functions.wordShingles(
           split(lower(col("text")), "\\s+"), 3))).as("shingle"))
-        // r19 OPTIMIZATION (guide §2.5, the p191/rareDf finding): pin the
-        // ONE sh-by-shingle exchange to session parallelism — AQE's
-        // byte-sized coalescing ran the join-back + quadratic self-join
-        // fan-out stage on 1-2 of 32 cores (the whole query is downstream
-        // of this exchange). Shared by the df aggregation and the join-back
-        // probe side, so exchange COUNT drops by one. Results unchanged
-        // (same operators, re-verified vs the oracle). Under the TruthTier
-        // guard the input is bounded, so a fixed partition count cannot
-        // outgrow per-task memory.
-        .repartition(s.sparkContext.defaultParallelism, col("shingle"))
       // Document frequency via groupBy + join-back, NOT a window over the
       // shingle key: partial (map-side) aggregation collapses a hot shingle's
       // occurrences before the shuffle, whereas count(*) OVER (PARTITION BY

@@ -144,10 +144,6 @@ object PipelineQueries27 {
       val sh = docs.select(col("doc_id"),
         explode(array_distinct(Functions.wordShingles(
           toks(col("text")), 3))).as("shingle"))
-        // r19 OPTIMIZATION (guide §2.5): pin the sh-by-shingle exchange to
-        // session parallelism — see the p17 note (same collapsed join-back
-        // + self-join fan-out stage, same bounded-input posture).
-        .repartition(s.sparkContext.defaultParallelism, col("shingle"))
       val nDocs = docs.agg(count(lit(1)).as("corpus_n"))
       val rareShingles = sh.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(nDocs))

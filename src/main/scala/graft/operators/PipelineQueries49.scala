@@ -83,17 +83,6 @@ object PipelineQueries49 {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(graft.Functions.wordShingles(
         split(lower(col("text")), "\\s+"), 3))).as("shingle"))
-      // r19 OPTIMIZATION (guide §2.5, the p191-candidate finding applied to
-      // the PROLOGUE): the shingle-keyed exchange feeding the df join-back
-      // is byte-tiny at gate scale, so AQE coalesced the join-back (and
-      // everything co-partitioned after it — per-doc collect_list here, the
-      // quadratic self-join fan-out in p17/p80/p105/p160) onto 1-2 of 32
-      // cores. Pin the ONE sh-by-shingle exchange to session parallelism;
-      // the df aggregation and the join-back both reuse it, so the plan
-      // has FEWER exchanges than before (the separate partial-count
-      // exchange folds into this one) and the dominant stage runs at full
-      // width. Cluster-aware (defaultParallelism, not a literal).
-      .repartition(s.sparkContext.defaultParallelism, col("shingle"))
     val nDocs = docs.agg(count(lit(1)).as("corpus_n"))
     // df via groupBy + join-back, never a window over the shingle key
     // (p17's stop-phrase skew note applies verbatim)
